@@ -1,0 +1,235 @@
+"""Building blocks for the mixing-style-transfer networks.
+
+Semantics-compatible re-design of the reference conv stack
+(``mixing_style_transfer/networks/network_utils.py:15-182``) as flax modules:
+
+- ``Conv1dLayer``: reflect-pad (asymmetric SAME) -> conv -> batch-norm -> act.
+- ``ResConvBlock``: conv1 (channel-preserving) + residual add, then strided
+  conv2 (``network_utils.py:96-119``).
+- ``FiLM``: feature-wise linear modulation (``network_utils.py:156-182``).
+
+Layout notes (TPU-first):
+- Activations are ``[batch, channels, time]`` ("NCH"); XLA lowers 1-D convs
+  in this layout onto the MXU directly.
+- Conv kernels are stored in the torch layout ``[out_ch, in_ch, k]`` so
+  published PyTorch checkpoints map 1:1 onto the param pytree
+  (see ``models/torch_import.py``).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+BN_EPS = 1e-5  # torch.nn.BatchNorm1d default
+BN_MOMENTUM = 0.9  # linen convention: new = m*old + (1-m)*batch  (torch momentum=0.1)
+LEAKY_SLOPE = 0.01  # torch.nn.LeakyReLU default
+
+
+def same_reflect_pad(x: jnp.ndarray, kernel_size: int, dilation: int) -> jnp.ndarray:
+    """Asymmetric SAME reflect padding on the time axis.
+
+    Matches reference ``network_utils.py:30-34,47``: total pad = (k-1)*d,
+    left = pad//2, right = pad - left, mode=reflect.
+    """
+    pad = (kernel_size - 1) * dilation
+    l = pad // 2
+    r = pad - l
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (l, r)), mode="reflect")
+
+
+def conv1d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+    padding: str | Sequence[Tuple[int, int]] = "VALID",
+) -> jnp.ndarray:
+    """1-D convolution, NCH activations, torch-layout kernel [out, in/groups, k]."""
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, ("NCH", "OIH", "NCH"))
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding=padding if isinstance(padding, str) else list(padding),
+        rhs_dilation=(dilation,),
+        dimension_numbers=dn,
+        feature_group_count=groups,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if bias is not None:
+        y = y + bias[None, :, None]
+    return y
+
+
+def _torch_conv_init(in_ch: int, kernel_size: int, groups: int = 1):
+    """torch Conv1d default init: kaiming-uniform(a=sqrt(5)) == U(-b, b) with
+    b = 1/sqrt(fan_in), fan_in = (in_ch/groups) * k."""
+    fan_in = (in_ch // groups) * kernel_size
+
+    def kernel_init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in) * math.sqrt(3.0)  # gain sqrt(3) for uniform kaiming
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    def bias_init(key, shape, dtype=jnp.float32):
+        bound = 1.0 / math.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return kernel_init, bias_init
+
+
+class BatchNorm1d(nn.Module):
+    """Batch norm over channel axis of NCH input, torch semantics.
+
+    Eval: ``(x - running_mean)/sqrt(running_var + eps) * scale + bias``.
+    Train: batch statistics over (N, T); running stats updated with torch
+    momentum 0.1 and *unbiased* variance (torch parity).
+    """
+
+    features: int
+    use_running_average: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(self.features))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(self.features))
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            reduce_axes = (0, 2)
+            mean = jnp.mean(x, axis=reduce_axes)
+            var = jnp.mean(jnp.square(x), axis=reduce_axes) - jnp.square(mean)
+            n = x.shape[0] * x.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
+                ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * unbiased
+
+        inv = jax.lax.rsqrt(var + BN_EPS)
+        y = (x - mean[None, :, None]) * inv[None, :, None]
+        return y * scale[None, :, None] + bias[None, :, None]
+
+
+class Conv1dLayer(nn.Module):
+    """conv -> norm -> activation with SAME (reflect) or VALID padding.
+
+    Mirrors reference ``network_utils.py:15-89`` ("conv" mode only; the
+    deconv / alias_free modes are unused by the shipped models).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: str = "SAME"  # "SAME" (reflect) or "VALID"
+    dilation: int = 1
+    use_bias: bool = True
+    norm: str = "batch"
+    activation: str = "relu"
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k_init, b_init = _torch_conv_init(self.in_channels, self.kernel_size)
+        kernel = self.param(
+            "weight", k_init, (self.out_channels, self.in_channels, self.kernel_size)
+        )
+        bias = self.param("bias", b_init, (self.out_channels,)) if self.use_bias else None
+
+        if self.padding == "SAME":
+            x = same_reflect_pad(x, self.kernel_size, self.dilation)
+        x = conv1d(x, kernel, bias, stride=self.stride, dilation=self.dilation)
+
+        if self.norm == "batch":
+            x = BatchNorm1d(self.out_channels, use_running_average=not self.train, name="bn")(x)
+
+        if self.activation == "relu":
+            x = jax.nn.relu(x)
+        elif self.activation == "lrelu":
+            x = jax.nn.leaky_relu(x, LEAKY_SLOPE)
+        return x
+
+
+class ResConvBlock(nn.Module):
+    """Residual block: ``conv2(conv1(x) + x)`` (reference ``network_utils.py:96-119``).
+
+    conv1 preserves channels (the residual add happens after conv1's full
+    conv->BN->act), conv2 changes channels and may stride.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: str = "SAME"
+    dilation: int = 1
+    use_bias: bool = True
+    norm: str = "batch"
+    activation: str = "relu"
+    last_activation: str = "relu"
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c1 = Conv1dLayer(
+            self.in_channels,
+            self.in_channels,
+            self.kernel_size,
+            padding=self.padding,
+            dilation=self.dilation,
+            use_bias=self.use_bias,
+            norm=self.norm,
+            activation=self.activation,
+            train=self.train,
+            name="conv1",
+        )(x)
+        c1 = c1 + x
+        return Conv1dLayer(
+            self.in_channels,
+            self.out_channels,
+            self.kernel_size,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            use_bias=self.use_bias,
+            norm=self.norm,
+            activation=self.last_activation,
+            train=self.train,
+            name="conv2",
+        )(c1)
+
+
+class FiLM(nn.Module):
+    """Feature-wise linear modulation (reference ``network_utils.py:156-182``).
+
+    ``cond [B, cond_dim] -> linear -> (r, b)`` each ``[B, features]``;
+    output ``r * x + b`` broadcast over time.
+    """
+
+    cond_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        def w_init(key, shape, dtype=jnp.float32):
+            bound = 1.0 / math.sqrt(self.cond_dim)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        # torch Linear layout: weight [out, in]
+        weight = self.param("weight", w_init, (2 * self.features, self.cond_dim))
+        bias = self.param("bias", w_init, (2 * self.features,))
+        film = (
+            jnp.dot(cond, weight.T, precision=jax.lax.Precision.HIGHEST) + bias
+        )  # [B, 2*features]
+        r, b = jnp.split(film, 2, axis=-1)
+        return r[:, :, None] * x + b[:, :, None]

@@ -1,0 +1,101 @@
+"""MixFXcloner: FiLM-conditioned temporal convolutional network.
+
+TPU-native re-design of the reference TCNModel/TCNBlock
+(``mixing_style_transfer/networks/architectures.py:76-234``, derived from
+csteinmetz1/micro-tcn): 14 dilated conv blocks (width 128, kernel 15,
+dilation 2**(n % 15), non-causal), each block
+``conv(no bias, zero-pad (k-1)*d/2) -> BN -> LeakyReLU -> FiLM`` plus a
+grouped 1x1 residual, then a 1x1 output conv and clamp to [-1, 1].
+Receptive field 229,363 samples = 5.2 s @ 44.1 kHz. ~10.5M parameters.
+
+Input:  ``x [batch, 2, T]`` stereo waveform, ``cond [batch, 2048]`` embedding.
+Output: ``[batch, 2, T]`` converted waveform.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import TCNConfig
+from .blocks import BatchNorm1d, FiLM, LEAKY_SLOPE, _torch_conv_init, conv1d
+
+
+class TCNBlock(nn.Module):
+    """One TCN block (reference ``architectures.py:177-234``)."""
+
+    in_ch: int
+    out_ch: int
+    kernel_size: int
+    dilation: int
+    cond_dim: int
+    causal: bool = False
+    train: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+        k, d = self.kernel_size, self.dilation
+        pad_length = (k - 1) * d if self.causal else ((k - 1) * d) // 2
+
+        k_init, _ = _torch_conv_init(self.in_ch, k)
+        w1 = self.param("conv1_weight", k_init, (self.out_ch, self.in_ch, k))
+        # conv1: zero padding `pad_length` on both sides (torch Conv1d padding=pad)
+        h = conv1d(x, w1, None, dilation=d, padding=[(pad_length, pad_length)])
+        h = BatchNorm1d(self.out_ch, use_running_average=not self.train, name="bn")(h)
+        h = jax.nn.leaky_relu(h, LEAKY_SLOPE)
+        h = FiLM(self.cond_dim, self.out_ch, name="film")(h, cond)
+
+        # grouped 1x1 residual conv, groups=in_ch, no bias (architectures.py:216-220)
+        rk_init, _ = _torch_conv_init(self.in_ch, 1, groups=self.in_ch)
+        wr = self.param("res_weight", rk_init, (self.out_ch, 1, 1))
+        x_res = conv1d(x, wr, None, groups=self.in_ch)
+
+        if self.causal:
+            h = h[..., :-pad_length]
+        return h + x_res
+
+
+class MixFXcloner(nn.Module):
+    """TCN-based mixing-style converter (reference ``architectures.py:76-147``)."""
+
+    config: TCNConfig = TCNConfig()
+    train: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cond: Union[jnp.ndarray, Sequence[jnp.ndarray]],
+    ) -> jnp.ndarray:
+        cfg = self.config
+        per_block_cond = not isinstance(cond, jnp.ndarray)
+        h = x
+        in_ch = cfg.ninputs
+        for n in range(cfg.nblocks):
+            out_ch = in_ch * cfg.channel_growth if cfg.channel_growth > 1 else cfg.channel_width
+            dilation = cfg.dilation_growth ** (n % cfg.stack_size)
+            c = cond[n] if per_block_cond else cond
+            h = TCNBlock(
+                in_ch=in_ch,
+                out_ch=out_ch,
+                kernel_size=cfg.kernel_size,
+                dilation=dilation,
+                cond_dim=cfg.condition_dimension,
+                causal=cfg.causal,
+                train=self.train,
+                name=f"block{n}",
+            )(h, c)
+            in_ch = out_ch
+
+        # 1x1 output conv with bias (architectures.py:133), then clamp (:145)
+        k_init, b_init = _torch_conv_init(in_ch, 1)
+        w = self.param("output_weight", k_init, (cfg.noutputs, in_ch, 1))
+        b = self.param("output_bias", b_init, (cfg.noutputs,))
+        out = conv1d(h, w, b)
+        return jnp.clip(out, -1.0, 1.0)
+
+
+# Backwards-friendly alias matching the reference class name
+TCNModel = MixFXcloner

@@ -1,0 +1,29 @@
+from .stft import (
+    compute_istft,
+    compute_stft,
+    frame,
+    hann_window,
+    hamming_window,
+    istft,
+    magnitude,
+    sqrt_hann_window,
+    stft,
+)
+from .biquad import (
+    biquad_apply,
+    biquad_apply_scan,
+    biquad_cascade,
+    filtfilt_biquad,
+    filtfilt_fir,
+    fir_filter,
+    rbj_coeffs,
+)
+from .compressor import amp_to_db, compressor_process, static_gain_curve
+from .fftconv import fft_convolve_full, convolve_wet
+from .loudness import (
+    integrated_loudness,
+    k_weight,
+    loudness_normalize,
+    lufs_normalize,
+    peak_normalize,
+)

@@ -1,0 +1,146 @@
+"""Dynamic range compressor / expander core for TPU.
+
+Re-designs the reference numba envelope follower
+(``common_audioeffects.py:529-587``) for XLA. The reference loop is
+
+    x_g = 20*log10(|x|)            (floored at -120 dB below 1e-6)
+    y_g = static gain curve        (ratio>1: downward comp; ratio<1: upward exp)
+    x_l = x_g - y_g
+    y_l[n] = a*y_l[n-1] + (1-a)*x_l[n],  a = a_attack if x_l[n] > y_l[n-1]
+                                             else a_release
+    y    = x * 10**((makeup - y_l)/20)
+
+Everything except the one-pole smoothing is elementwise (parallel). The
+branchy smoothing is reformulated *exactly* as
+
+    y_l[n] = max(a_att*y_l[n-1] + (1-a_att)*x_l[n],
+                 a_rel*y_l[n-1] + (1-a_rel)*x_l[n])
+
+valid whenever ``a_att <= a_rel`` (attack time <= release time, true for every
+parameterization in the system): when the input is above the envelope both
+candidates move up and the attack (faster, smaller a) one is larger; when
+below, both move down and the release one is larger. This makes the scan body
+branchless — a fused multiply-add + max per step.
+
+Two evaluation strategies:
+- ``compressor_gain_exact``: ``lax.scan`` over time (exact, sequential).
+- ``compressor_gain_blockwise``: chunk-parallel approximation with warmup
+  overlap (envelope memory decays as a^W) for augmentation-grade use.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+LOG10_FLOOR = 1e-6
+DB_FLOOR = -120.0
+
+
+def amp_to_db(x: jnp.ndarray) -> jnp.ndarray:
+    """20*log10(|x|) with the reference's -120 dB floor below 1e-6."""
+    mag = jnp.abs(x)
+    db = 20.0 * jnp.log10(jnp.maximum(mag, LOG10_FLOOR))
+    return jnp.where(mag < LOG10_FLOOR, DB_FLOOR, db)
+
+
+def static_gain_curve(x_g: jnp.ndarray, threshold, ratio) -> jnp.ndarray:
+    """Static compression curve in dB domain (reference :564-575).
+
+    ratio > 1: downward compression above threshold.
+    ratio < 1: upward expansion below threshold.
+    ratio == 1: identity.
+    """
+    ratio = jnp.asarray(ratio)
+    above = x_g >= threshold
+    comp = jnp.where(above, threshold + (x_g - threshold) / ratio, x_g)
+    below = x_g <= threshold
+    expd = jnp.where(below, threshold + (x_g - threshold) * ratio, x_g)
+    return jnp.where(ratio > 1.0, comp, jnp.where(ratio < 1.0, expd, x_g))
+
+
+def alphas(attack_ms, release_ms, sample_rate) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    a_att = jnp.exp(-1.0 / (0.001 * sample_rate * attack_ms))
+    a_rel = jnp.exp(-1.0 / (0.001 * sample_rate * release_ms))
+    return a_att, a_rel
+
+
+def _envelope_scan(x_l: jnp.ndarray, a_att, a_rel, y0=None) -> jnp.ndarray:
+    """Exact envelope smoothing via branchless max-affine scan.
+
+    ``x_l``: ``[..., T]``; alphas broadcastable to the batch shape.
+    """
+    batch_shape = x_l.shape[:-1]
+    a_att = jnp.broadcast_to(jnp.asarray(a_att, x_l.dtype), batch_shape)
+    a_rel = jnp.broadcast_to(jnp.asarray(a_rel, x_l.dtype), batch_shape)
+    if y0 is None:
+        y0 = jnp.zeros(batch_shape, x_l.dtype)
+
+    def step(y_prev, xn):
+        cand_att = a_att * y_prev + (1.0 - a_att) * xn
+        cand_rel = a_rel * y_prev + (1.0 - a_rel) * xn
+        y = jnp.maximum(cand_att, cand_rel)
+        return y, y
+
+    _, y_l = jax.lax.scan(step, y0, jnp.moveaxis(x_l, -1, 0))
+    return jnp.moveaxis(y_l, 0, -1)
+
+
+def _envelope_blockwise(
+    x_l: jnp.ndarray, a_att, a_rel, block: int = 4096, warmup: int = 8192
+) -> jnp.ndarray:
+    """Chunk-parallel approximate envelope: each block is scanned with a
+    ``warmup`` prefix from the previous samples (envelope memory decays as
+    ``a^warmup``). Trades exactness for T/block-way parallelism — intended
+    for randomized augmentation, not for normalization matching."""
+    T = x_l.shape[-1]
+    nblocks = -(-T // block)
+    pad = nblocks * block - T
+    xp = jnp.pad(x_l, [(0, 0)] * (x_l.ndim - 1) + [(warmup, pad)], mode="edge")
+    # gather [.., nblocks, warmup+block]
+    starts = jnp.arange(nblocks) * block
+    idx = starts[:, None] + jnp.arange(warmup + block)[None, :]
+    blocks = xp[..., idx]  # [..., nblocks, warmup+block]
+    a_att_b = jnp.asarray(a_att, x_l.dtype)[..., None] if jnp.ndim(a_att) else a_att
+    a_rel_b = jnp.asarray(a_rel, x_l.dtype)[..., None] if jnp.ndim(a_rel) else a_rel
+    env = _envelope_scan(blocks, a_att_b, a_rel_b)
+    env = env[..., warmup:]
+    env = env.reshape(env.shape[:-2] + (nblocks * block,))
+    return env[..., :T]
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "blockwise", "block", "warmup"))
+def compressor_process(
+    x: jnp.ndarray,
+    threshold,
+    attack_ms,
+    release_ms,
+    ratio,
+    makeup_db=0.0,
+    sample_rate: int = 44100,
+    blockwise: bool = False,
+    block: int = 4096,
+    warmup: int = 8192,
+) -> jnp.ndarray:
+    """Full compressor (reference ``compressor_process``) over the last axis.
+
+    Parameters may be scalars or arrays broadcastable to ``x.shape[:-1]``
+    (vmap-free grid sweeps: pass e.g. ``threshold [G, 1]`` with ``x [1, T]``).
+    """
+    # parameters follow normal numpy broadcasting against x (e.g. pass
+    # threshold [G, 1] with x [G, T] for a grid sweep)
+    threshold = jnp.asarray(threshold, x.dtype)
+    ratio = jnp.asarray(ratio, x.dtype)
+    x_g = amp_to_db(x)
+    y_g = static_gain_curve(x_g, threshold, ratio)
+    x_l = x_g - y_g
+    a_att, a_rel = alphas(attack_ms, release_ms, sample_rate)
+    if blockwise:
+        y_l = _envelope_blockwise(x_l, a_att, a_rel, block=block, warmup=warmup)
+    else:
+        y_l = _envelope_scan(x_l, a_att, a_rel)
+    c = jnp.power(10.0, (makeup_db - y_l) / 20.0)
+    return x * c

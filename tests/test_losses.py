@@ -1,0 +1,115 @@
+"""Loss parity tests vs torch oracle implementations of the documented math."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from music_mixing_style_transfer_tpu.losses import (
+    multiscale_spectral_midside,
+    nt_xent_loss,
+    rms_loss,
+)
+
+
+def _torch_nt_xent(z_i, z_j, temperature):
+    """Oracle: SimCLR NT-Xent with diag + positive-pair masking (sum CE / N)."""
+    B = z_i.shape[0]
+    N = 2 * B
+    z = torch.cat([z_i, z_j], 0)
+    sim = torch.nn.functional.cosine_similarity(z.unsqueeze(1), z.unsqueeze(0), dim=2) / temperature
+    pos = torch.cat([torch.diag(sim, B), torch.diag(sim, -B)]).reshape(N, 1)
+    mask = torch.ones((N, N), dtype=torch.bool)
+    mask.fill_diagonal_(0)
+    for i in range(B):
+        mask[i, B + i] = 0
+        mask[B + i, i] = 0
+    neg = sim[mask].reshape(N, -1)
+    logits = torch.cat([pos, neg], 1)
+    labels = torch.zeros(N, dtype=torch.long)
+    return torch.nn.functional.cross_entropy(logits, labels, reduction="sum") / N
+
+
+def test_nt_xent_matches_torch(rng):
+    B, D = 6, 32
+    zi = rng.standard_normal((B, D)).astype(np.float32)
+    zj = (zi + 0.5 * rng.standard_normal((B, D))).astype(np.float32)
+    ref = float(_torch_nt_xent(torch.from_numpy(zi), torch.from_numpy(zj), 0.1))
+    out = float(nt_xent_loss(jnp.asarray(zi), jnp.asarray(zj), 0.1))
+    assert abs(out - ref) < 1e-3
+
+
+def test_nt_xent_sharded_equals_global(rng):
+    """all_gather over the mesh reproduces the single-device loss."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest must force 8 CPU devices"
+    W = 4
+    mesh = Mesh(np.array(devices[:W]), ("data",))
+    B, D = 8, 16  # global batch
+    zi = rng.standard_normal((B, D)).astype(np.float32)
+    zj = rng.standard_normal((B, D)).astype(np.float32)
+
+    ref = float(nt_xent_loss(jnp.asarray(zi), jnp.asarray(zj), 0.2))
+
+    def local_loss(zi_l, zj_l):
+        return nt_xent_loss(zi_l, zj_l, 0.2, axis_name="data")
+
+    f = shard_map(
+        local_loss, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P()
+    )
+    out = float(f(jnp.asarray(zi), jnp.asarray(zj)))
+    assert abs(out - ref) < 1e-3
+
+
+def _torch_frontend_mag(x, n_fft, hop, eps=1e-7):
+    win = torch.hann_window(n_fft, periodic=True)
+    spec = torch.stft(x, n_fft, hop, n_fft, win, center=True, return_complex=True)
+    mag = (spec.real**2 + spec.imag**2 + eps) ** 0.5
+    if x.shape[-1] % round(n_fft / 4) == 0:
+        mag = mag[:, :, :-1]
+    if n_fft % 2 == 0:
+        mag = mag[:, 1:]
+    return mag
+
+
+def _torch_multiscale(est, tgt, eps=1e-7):
+    mid_w, logmag_w = 0.5, 0.1
+    e_mid, e_side = est[:, 0] + est[:, 1], est[:, 0] - est[:, 1]
+    t_mid, t_side = tgt[:, 0] + tgt[:, 1], tgt[:, 0] - tgt[:, 1]
+    tot_mag, tot_log = 0.0, 0.0
+    for n_fft, hop in zip([4096, 2048, 1024, 512], [1024, 512, 256, 128]):
+        em, es = _torch_frontend_mag(e_mid, n_fft, hop), _torch_frontend_mag(e_side, n_fft, hop)
+        tm, ts = _torch_frontend_mag(t_mid, n_fft, hop), _torch_frontend_mag(t_side, n_fft, hop)
+        l1 = lambda a, b: torch.norm(torch.nn.functional.l1_loss(a, b))
+        l2 = lambda a, b: torch.nn.functional.mse_loss(
+            torch.log10(a + eps), torch.log10(b + eps)
+        )
+        tot_mag = tot_mag + mid_w * l1(em, tm) + (1 - mid_w) * l1(es, ts)
+        tot_log = tot_log + mid_w * l2(em, tm) + (1 - mid_w) * l2(es, ts)
+    return (1 - logmag_w) * tot_mag + logmag_w * tot_log
+
+
+def test_multiscale_spectral_matches_torch(rng):
+    B, T = 2, 8192
+    est = (rng.standard_normal((B, 2, T)) * 0.1).astype(np.float32)
+    tgt = (rng.standard_normal((B, 2, T)) * 0.1).astype(np.float32)
+    ref = float(_torch_multiscale(torch.from_numpy(est), torch.from_numpy(tgt)))
+    out = float(multiscale_spectral_midside(jnp.asarray(est), jnp.asarray(tgt)))
+    assert abs(out - ref) / max(abs(ref), 1e-8) < 1e-3
+
+
+def test_rms_loss_matches_torch(rng):
+    est = (rng.standard_normal((3, 2, 1000)) * 0.3).astype(np.float32)
+    tgt = (rng.standard_normal((3, 2, 1000)) * 0.5).astype(np.float32)
+    e = torch.from_numpy(est).reshape(6, 1000)
+    t = torch.from_numpy(tgt).reshape(6, 1000)
+    ne = torch.sqrt(torch.mean(e**2, dim=-1))
+    nt = torch.sqrt(torch.mean(t**2, dim=-1))
+    w = torch.clamp(torch.abs(nt - ne), min=0.01) * 100.0
+    ref = float(torch.mean(w**1.5 * torch.nn.functional.mse_loss(ne, nt)))
+    out = float(rms_loss(jnp.asarray(est), jnp.asarray(tgt)))
+    assert abs(out - ref) / max(abs(ref), 1e-8) < 1e-4
