@@ -1,0 +1,13 @@
+from .wavio import read_wav, read_wav_stereo_ct, total_wav_length, wav_length, write_wav
+from .segments import pad_to_batches, reassemble_song, segment_song
+
+__all__ = [
+    "read_wav",
+    "read_wav_stereo_ct",
+    "write_wav",
+    "wav_length",
+    "total_wav_length",
+    "segment_song",
+    "reassemble_song",
+    "pad_to_batches",
+]

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.biquad import biquad_apply, rbj_coeffs
+from ..ops.biquad import biquad_apply, rbj_coeffs, rbj_poles
 from ..ops.compressor import compressor_process
 from ..ops.fftconv import fft_convolve_full
 
@@ -294,8 +294,8 @@ class Equaliser:
             ki += 1
         return params
 
-    def coeffs(self, params) -> jnp.ndarray:
-        cs = []
+    def coeffs(self, params) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cs, ps = [], []
         for band in self.bands:
             if band in ("low_shelf", "high_shelf"):
                 q = 0.707
@@ -303,16 +303,16 @@ class Equaliser:
             else:
                 q = params[f"{band}_q"]
                 ftype = "peaking"
-            cs.append(
-                rbj_coeffs(ftype, params[f"{band}_gain"], q, params[f"{band}_freq"], self.sample_rate)
-            )
-        return jnp.stack(cs)  # [n_bands, 5]
+            args = (ftype, params[f"{band}_gain"], q, params[f"{band}_freq"], self.sample_rate)
+            cs.append(rbj_coeffs(*args))
+            ps.append(rbj_poles(*args))
+        return jnp.stack(cs), jnp.stack(ps)  # [n_bands, 5], [n_bands, 2]
 
     def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
-        cs = self.coeffs(params)
+        cs, ps = self.coeffs(params)
         y = x
         for i in range(len(self.bands)):
-            y = biquad_apply(y, cs[i])
+            y = biquad_apply(y, cs[i], poles=ps[i])
         if self.hard_clip:
             y = jnp.clip(y, -1.0, 1.0)
         return y
@@ -420,8 +420,10 @@ class AlgorithmicReverb:
         for d in comb_delays:
             zd = jnp.exp(-1j * omega * (d + spread))
             # comb: Y/X = z^-d (1 - damp1 z^-1) / (1 - damp1 z^-1 - rs*damp2 z^-d)
+            # (denominator can only vanish at the removable damping->1 DC
+            #  singularity; the epsilon keeps that single bin finite)
             one_pole = 1.0 - damp1 * zm1
-            H = H + zd * one_pole / (one_pole - rs * damp2 * zd)
+            H = H + zd * one_pole / (one_pole - rs * damp2 * zd + 1e-9)
 
         ap_delays = self.ALLPASS_DELAYS_R if right else self.ALLPASS_DELAYS
         for d in ap_delays:

@@ -1,0 +1,280 @@
+"""Mixing-style-transfer inference pipeline.
+
+TPU re-design of the reference inference layer
+(``inference/style_transfer.py:27-301``, ``feature_extraction.py:20-140``):
+
+- whole songs are segmented into ``[n_segments, 2, 2^19]`` and run as ONE
+  batched forward per stem (the reference loops batch_size=1 host batches);
+  the segment axis is padded to a small set of bucket sizes so each song
+  length reuses a cached XLA executable.
+- reference embeddings are masked-averaged over real segments on device.
+- per-stem converted segments are reassembled (concat + trim) on host.
+
+Checkpoints: pass paths to the published torch checkpoints to reproduce the
+pretrained system (``models/torch_import.py``); otherwise random init.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, FXencoderConfig, InferenceConfig, TCNConfig
+from ..data.segments import pad_to_batches, reassemble_song, segment_song
+from ..data.wavio import read_wav_stereo_ct, write_wav
+from ..models import FXencoder, MixFXcloner
+from ..models.torch_import import load_fxencoder_variables, load_mixfxcloner_variables
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def _bucket(n: int, buckets: Sequence[int] = (1, 2, 4, 8, 16, 32, 64, 128)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return -(-n // buckets[-1]) * buckets[-1]
+
+
+class StyleTransferEngine:
+    """Jitted FXencoder + MixFXcloner execution engine."""
+
+    def __init__(
+        self,
+        encoder_cfg: Optional[FXencoderConfig] = None,
+        converter_cfg: Optional[TCNConfig] = None,
+        ckpt_path_enc: Optional[str] = None,
+        ckpt_path_conv: Optional[str] = None,
+        dtype: str = "float32",
+        seed: int = 0,
+    ):
+        self.encoder_cfg = encoder_cfg or FXencoderConfig()
+        self.converter_cfg = converter_cfg or TCNConfig()
+        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
+        self.encoder = FXencoder(config=self.encoder_cfg)
+        self.converter = MixFXcloner(config=self.converter_cfg)
+
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        if ckpt_path_enc and os.path.exists(ckpt_path_enc):
+            self.enc_vars = load_fxencoder_variables(ckpt_path_enc)
+            log.info("loaded FXencoder checkpoint: %s", ckpt_path_enc)
+        else:
+            if ckpt_path_enc:
+                log.warning("FXencoder checkpoint %s missing - random init", ckpt_path_enc)
+            self.enc_vars = self.encoder.init(k1, jnp.zeros((1, 2, 2**14)))
+        if ckpt_path_conv and os.path.exists(ckpt_path_conv):
+            self.conv_vars = load_mixfxcloner_variables(ckpt_path_conv)
+            log.info("loaded MixFXcloner checkpoint: %s", ckpt_path_conv)
+        else:
+            if ckpt_path_conv:
+                log.warning("MixFXcloner checkpoint %s missing - random init", ckpt_path_conv)
+            self.conv_vars = self.converter.init(
+                k2, jnp.zeros((1, 2, 2**14)), jnp.zeros((1, self.converter_cfg.condition_dimension))
+            )
+        self.enc_vars = jax.tree.map(lambda a: jnp.asarray(a), self.enc_vars)
+        self.conv_vars = jax.tree.map(lambda a: jnp.asarray(a), self.conv_vars)
+
+        # jitted kernels (cached per input bucket shape)
+        @jax.jit
+        def _encode_mean(enc_vars, segments, mask):
+            """[N, 2, L] -> masked mean embedding [D]."""
+            x = segments.astype(self.dtype)
+            emb = self.encoder.apply(enc_vars, x).astype(jnp.float32)
+            w = mask.astype(jnp.float32)[:, None]
+            return jnp.sum(emb * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+
+        @jax.jit
+        def _convert(conv_vars, segments, embedding):
+            x = segments.astype(self.dtype)
+            cond = jnp.broadcast_to(
+                embedding.astype(self.dtype)[None, :], (x.shape[0], embedding.shape[-1])
+            )
+            return self.converter.apply(conv_vars, x, cond).astype(jnp.float32)
+
+        @jax.jit
+        def _convert_multi(conv_vars, segments, embeddings):
+            """Per-segment embeddings (interpolation mode)."""
+            x = segments.astype(self.dtype)
+            return self.converter.apply(
+                conv_vars, x, embeddings.astype(self.dtype)
+            ).astype(jnp.float32)
+
+        self._encode_mean = _encode_mean
+        self._convert = _convert
+        self._convert_multi = _convert_multi
+
+    # ------------------------------------------------------------------
+    def embed_song(self, audio: np.ndarray, segment_length: int) -> np.ndarray:
+        """Mean FXencoder embedding of a whole ``[2, T]`` song."""
+        if audio.shape[-1] < segment_length:
+            audio = np.pad(audio, ((0, 0), (0, segment_length - audio.shape[-1])))
+        segments, _ = segment_song(audio, segment_length)
+        n_valid = segments.shape[0]
+        segments, _ = pad_to_batches(segments, _bucket(n_valid))
+        mask = np.arange(segments.shape[0]) < n_valid
+        emb = self._encode_mean(self.enc_vars, jnp.asarray(segments), jnp.asarray(mask))
+        return np.asarray(emb)
+
+    # ------------------------------------------------------------------
+    def convert_song(
+        self, audio: np.ndarray, embedding: np.ndarray, segment_length: int
+    ) -> np.ndarray:
+        """Convert a whole ``[2, T]`` song conditioned on one embedding."""
+        T = audio.shape[-1]
+        if T < segment_length:
+            audio = np.pad(audio, ((0, 0), (0, segment_length - T)))
+        segments, _ = segment_song(audio, segment_length)
+        n_valid = segments.shape[0]
+        segments, _ = pad_to_batches(segments, _bucket(n_valid))
+        out = self._convert(self.conv_vars, jnp.asarray(segments), jnp.asarray(embedding))
+        return reassemble_song(np.asarray(out)[:n_valid], T)
+
+    # ------------------------------------------------------------------
+    def convert_song_interpolated(
+        self,
+        audio: np.ndarray,
+        emb_a: np.ndarray,
+        emb_b: np.ndarray,
+        n_chunks: int,
+    ) -> np.ndarray:
+        """Interpolation mode: split the song into ``n_chunks`` equal chunks,
+        chunk i conditioned on ``w*embA + (1-w)*embB`` with
+        ``w = (N-1-i)/(N-1)`` (reference ``style_transfer.py:181-270``)."""
+        T = audio.shape[-1]
+        chunk_len = T // n_chunks + 1
+        segments, _ = segment_song(audio, chunk_len)
+        n_valid = segments.shape[0]
+        w = np.clip((n_chunks - 1 - np.arange(segments.shape[0])) / max(n_chunks - 1, 1), 0, 1)
+        embs = w[:, None] * emb_a[None, :] + (1 - w)[:, None] * emb_b[None, :]
+        out = self._convert_multi(
+            self.conv_vars, jnp.asarray(segments), jnp.asarray(embs.astype(np.float32))
+        )
+        return reassemble_song(np.asarray(out)[:n_valid], T)
+
+
+class MixingStyleTransfer:
+    """Whole-song, stem-wise mixing style transfer
+    (reference ``Mixing_Style_Transfer_Inference``)."""
+
+    def __init__(
+        self,
+        engine: StyleTransferEngine,
+        inference_cfg: Optional[InferenceConfig] = None,
+        normalizer=None,
+    ):
+        self.engine = engine
+        self.cfg = inference_cfg or InferenceConfig()
+        self.normalizer = normalizer
+
+    # ------------------------------------------------------------------
+    def transfer_stems(
+        self,
+        input_stems: Dict[str, np.ndarray],
+        reference_stems: Dict[str, np.ndarray],
+        reference_stems_b: Optional[Dict[str, np.ndarray]] = None,
+    ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+        """Convert input stems toward the reference's mixing style.
+
+        Returns ``(mixture [2, T], per-stem outputs)``.
+        """
+        cfg = self.cfg
+        outputs: Dict[str, np.ndarray] = {}
+        mixture = None
+        for inst in cfg.instruments:
+            x = input_stems[inst]
+            r = reference_stems[inst]
+            if self.normalizer is not None and cfg.normalize_input:
+                x = np.clip(self.normalizer.normalize_audio(x, src=inst), -1.0, 1.0)
+
+            if reference_stems_b is None:
+                emb = self.engine.embed_song(r, cfg.segment_length_ref)
+                y = self.engine.convert_song(x, emb, cfg.segment_length)
+            else:
+                emb_a = self.engine.embed_song(r, cfg.segment_length_ref)
+                emb_b = self.engine.embed_song(
+                    reference_stems_b[inst], cfg.segment_length_ref
+                )
+                y = self.engine.convert_song_interpolated(
+                    x, emb_a, emb_b, cfg.interpolate_segments
+                )
+            outputs[inst] = y
+            mixture = y if mixture is None else mixture + y
+        return mixture, outputs
+
+    # ------------------------------------------------------------------
+    def run_directory(self, target_dir: str, output_dir: Optional[str] = None) -> List[str]:
+        """Process every song directory under ``target_dir``; expects
+        pre-separated stems at
+        ``<song>/<stem_level_dir>[/<separation_model>]/<input|reference>/<inst>.wav``
+        (reference directory contract, ``data_loader.py:545-603``)."""
+        import glob
+
+        cfg = self.cfg
+        output_dir = output_dir or target_dir
+        sep_dir = (
+            cfg.stem_level_directory_name
+            if cfg.do_not_separate
+            else os.path.join(cfg.stem_level_directory_name, cfg.separation_model)
+        )
+        tag = "output" if cfg.normalize_input else "output_notnormed"
+        if cfg.interpolation:
+            tag += "_interpolation"
+
+        written = []
+        for song_dir in sorted(glob.glob(os.path.join(target_dir, "*/"))):
+            log.info("song: %s", song_dir)
+
+            def load_stems(name):
+                return {
+                    inst: read_wav_stereo_ct(
+                        os.path.join(song_dir, sep_dir, name, inst + ".wav"),
+                        expected_rate=cfg.sample_rate,
+                    ).clip(-1, 1)
+                    for inst in cfg.instruments
+                }
+
+            input_stems = load_stems(cfg.input_file_name)
+            reference_stems = load_stems(cfg.reference_file_name)
+            ref_b = (
+                load_stems(cfg.reference_file_name_2interpolate)
+                if cfg.interpolation
+                else None
+            )
+
+            mixture, outputs = self.transfer_stems(input_stems, reference_stems, ref_b)
+
+            out_dir = song_dir.replace(target_dir, output_dir)
+            os.makedirs(out_dir, exist_ok=True)
+            if cfg.save_each_inst:
+                for inst, y in outputs.items():
+                    write_wav(
+                        os.path.join(out_dir, f"{inst}_{tag}.wav"), y.T, cfg.sample_rate
+                    )
+            out_path = os.path.join(out_dir, f"mixture_{tag}.wav")
+            write_wav(out_path, mixture.T, cfg.sample_rate)
+            written.append(out_path)
+        return written
+
+
+def separate_with_demucs(
+    song_path: str, out_dir: str, model: str = "mdx_extra", device: str = "cpu"
+) -> None:
+    """Optional external source separation, interface-compatible with the
+    reference (``style_transfer.py:82-90``). Demucs is an external tool; we
+    shell out exactly as the reference does and fail clearly if absent."""
+    import shutil
+    import subprocess
+
+    if shutil.which("demucs") is None:
+        raise RuntimeError(
+            "demucs CLI not found; pre-separate stems and use do_not_separate=True"
+        )
+    subprocess.run(
+        ["demucs", song_path, "-n", model, "-d", device, "-o", out_dir], check=True
+    )

@@ -1,0 +1,297 @@
+"""EQ / compression matching DSP for audio-effects normalization.
+
+TPU re-design of the matching core
+(``mixing_manipulator/utils_data_normalization.py:65-429``):
+
+- ``get_eq_matching``: average-magnitude-spectrum match via a zero-phase FIR.
+  The average spectrum is computed on device (STFT 65536 / hop 16384,
+  sqrt-hann); the 1001-tap FIR design (scipy ``firwin2``) runs on host
+  (parameter-sized, once per song); the ``filtfilt`` applies on device.
+- ``hfc_onsets``: high-frequency-content onset detector replacing the aubio
+  C library (``utils_data_normalization.py:304-314``): HFC(n) = sum_k k*|X_n[k]|
+  over 1024-sample non-overlapped frames, peak-picked against an adaptive
+  median threshold.
+- ``mean_peak_db``: mean/std of onset-aligned peak levels above a percentile.
+- ``comp_match_grid``: the reference's sequential (ratio, threshold) search
+  becomes ONE batched compressor sweep over the whole grid (grid as the
+  batch/lane axis — this is where the TPU envelope scan gets its
+  parallelism), followed by an ordered first-satisfying select.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.signal
+
+from ..ops.biquad import filtfilt_fir
+from ..ops.compressor import compressor_process
+from ..ops.loudness import lufs_normalize, peak_normalize
+from ..ops.stft import frame, sqrt_hann_window, stft
+
+
+def amp_to_db(x):
+    return 20.0 * np.log10(x + 1e-30)
+
+
+def db_to_amp(x):
+    return 10.0 ** (x / 20.0)
+
+
+# ===========================================================================
+# EQ matching
+# ===========================================================================
+@partial(jax.jit, static_argnames=("n_fft", "hop_length"))
+def average_magnitude_spectrum(x: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
+    """Mean |STFT| over frames of mono ``[T]`` (sqrt-hann, center=False)."""
+    win = sqrt_hann_window(n_fft)
+    spec = stft(x, n_fft, hop_length, win, center=False)
+    return jnp.mean(jnp.abs(spec), axis=-2)
+
+
+def design_eq_fir(
+    audio_spec: np.ndarray, ref_spec: np.ndarray, ntaps: int = 1001
+) -> np.ndarray:
+    """Host-side FIR design for the sqrt amplitude-ratio curve
+    (reference ``utils_data_normalization.py:82-98``; the forward+backward
+    filtfilt application squares the response back to the full ratio)."""
+    m = ref_spec.shape[0]
+    frq = np.arange(m) / (m / 1.0)  # relative bin positions
+    frq = frq / np.max(frq)
+    diff_db = amp_to_db(ref_spec) - amp_to_db(audio_spec)
+    diff = np.sqrt(db_to_amp(diff_db))
+    return scipy.signal.firwin2(ntaps, frq, diff, window="hamming").astype(np.float32)
+
+
+def eq_match(
+    audio: jnp.ndarray,
+    ref_spec: np.ndarray,
+    sr: int = 44100,
+    n_fft: int = 2**16,
+    hop_length: int = 2**14,
+    min_db: float = -50.0,
+    ntaps: int = 1001,
+    lufs: float = -30.0,
+) -> jnp.ndarray:
+    """Match a mono channel ``[T]`` to the target average spectrum.
+
+    Device -> host -> device: avg spectrum on TPU, tiny FIR design on host,
+    zero-phase filtering on TPU.
+    """
+    peak_db = amp_to_db(float(jnp.max(jnp.abs(audio))))
+    if peak_db <= min_db:
+        return audio
+    audio = lufs_normalize(audio, sr, lufs)
+    spec = np.asarray(average_magnitude_spectrum(audio, n_fft, hop_length))
+    taps = design_eq_fir(spec, np.asarray(ref_spec), ntaps)
+    return filtfilt_fir(audio, jnp.asarray(taps))
+
+
+# ===========================================================================
+# HFC onsets + mean peak
+# ===========================================================================
+@partial(jax.jit, static_argnames=("window_size", "hop_size"))
+def hfc_onset_mask(
+    x: jnp.ndarray,
+    window_size: int = 1024,
+    hop_size: int = 1024,
+    threshold: float = 0.3,
+    silence_db: float = -70.0,
+    median_span: int = 5,
+) -> jnp.ndarray:
+    """Boolean onset mask per frame for ``x [..., T]``.
+
+    HFC onset function with aubio-style adaptive peak-picking: a frame is an
+    onset when its (normalized) HFC exceeds the local median by ``threshold``
+    and is a local maximum, and the frame is not silent.
+    """
+    T = x.shape[-1]
+    n_frames = T // hop_size
+    frames = frame(x[..., : n_frames * hop_size], window_size, hop_size) if T >= window_size else None
+    if frames is None or frames.shape[-2] == 0:
+        return jnp.zeros(x.shape[:-1] + (0,), bool)
+    win = jnp.asarray(np.hanning(window_size + 1)[:-1].astype(np.float32))
+    mag = jnp.abs(jnp.fft.rfft(frames * win, axis=-1))  # [..., F, K]
+    k = jnp.arange(mag.shape[-1], dtype=mag.dtype)
+    hfc = jnp.sum(mag * k, axis=-1)  # [..., F]
+    # normalize odf scale
+    hfc = hfc / jnp.maximum(jnp.max(hfc, axis=-1, keepdims=True), 1e-12)
+
+    # local median threshold (centered window of 2*span+1)
+    pad = median_span
+    hfc_p = jnp.pad(hfc, [(0, 0)] * (hfc.ndim - 1) + [(pad, pad)], mode="edge")
+    windows = frame(hfc_p, 2 * pad + 1, 1)  # [..., F, 2p+1]
+    med = jnp.median(windows, axis=-1)
+
+    prev = jnp.pad(hfc, [(0, 0)] * (hfc.ndim - 1) + [(1, 0)], mode="edge")[..., :-1]
+    nxt = jnp.pad(hfc, [(0, 0)] * (hfc.ndim - 1) + [(0, 1)], mode="edge")[..., 1:]
+    local_max = (hfc >= prev) & (hfc > nxt)
+
+    frame_db = 20.0 * jnp.log10(
+        jnp.sqrt(jnp.mean(frames**2, axis=-1)) + 1e-12
+    )
+    loud = frame_db > silence_db
+
+    return local_max & loud & (hfc > med + threshold * 0.1)
+
+
+@partial(jax.jit, static_argnames=("hop_size", "percentile"))
+def mean_peak_db(
+    x: jnp.ndarray,
+    onset_mask: jnp.ndarray,
+    hop_size: int = 1024,
+    percentile: float = 75.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(mean, std) of dB peak levels in inter-onset intervals
+    (reference ``get_mean_peak``, ``utils_data_normalization.py:284-338``).
+
+    Batched over leading axes; intervals are realized as segment-max over a
+    cumulative onset-count segmentation (static shapes, no host sync).
+    """
+    n_frames = onset_mask.shape[-1]
+    T_used = n_frames * hop_size
+    batch_shape = x.shape[:-1]
+    xs = jnp.abs(x[..., :T_used]).reshape(batch_shape + (n_frames, hop_size))
+    frame_max = jnp.max(xs, axis=-1)  # [..., F] (onsets are frame-aligned here,
+    # a deviation from aubio's sample-accurate onset positions — the peak
+    # statistic is unchanged up to frame quantization)
+
+    # segment id per frame: number of onsets at-or-before it (0 = pre-onset)
+    seg_ids = jnp.cumsum(onset_mask.astype(jnp.int32), axis=-1)  # [..., F]
+    n_segs = n_frames + 1
+
+    flat_fm = frame_max.reshape(-1, n_frames)
+    flat_ids = seg_ids.reshape(-1, n_frames)
+
+    def seg_scatter(fm, ids):
+        mx = jnp.zeros(n_segs, fm.dtype).at[ids].max(fm)
+        cnt = jnp.zeros(n_segs, jnp.int32).at[ids].add(1)
+        return mx, cnt
+
+    seg_max, seg_cnt = jax.vmap(seg_scatter)(flat_fm, flat_ids)  # [B, S]
+    seg_max = seg_max.reshape(batch_shape + (n_segs,))
+    seg_cnt = seg_cnt.reshape(batch_shape + (n_segs,))
+    valid = (seg_cnt > 0) & (jnp.arange(n_segs) > 0)  # drop pre-onset segment
+
+    p_db = 20.0 * jnp.log10(seg_max + 1e-30)
+    p_db = jnp.where(valid, p_db, jnp.nan)
+
+    thr = jnp.nanpercentile(p_db, percentile, axis=-1, keepdims=True)
+    above = p_db > thr
+    n_above = jnp.sum(jnp.where(jnp.isnan(p_db), False, above), axis=-1)
+
+    def masked_stats(mask):
+        m = jnp.where(jnp.isnan(p_db), False, mask)
+        n = jnp.maximum(jnp.sum(m, axis=-1), 1)
+        mean = jnp.sum(jnp.where(m, p_db, 0.0), axis=-1) / n
+        var = jnp.sum(jnp.where(m, (p_db - mean[..., None]) ** 2, 0.0), axis=-1) / n
+        return mean, jnp.sqrt(var)
+
+    mean_a, std_a = masked_stats(above)
+    mean_all, std_all = masked_stats(jnp.ones_like(above, bool))
+    use_above = n_above > 0
+    return (
+        jnp.where(use_above, mean_a, mean_all),
+        jnp.where(use_above, std_a, std_all),
+    )
+
+
+def measure_mean_peak(x: jnp.ndarray, percentile: float = 75.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Convenience: onsets + peak stats for ``x [..., T]``."""
+    mask = hfc_onset_mask(x)
+    return mean_peak_db(x, mask, percentile=percentile)
+
+
+# ===========================================================================
+# compression matching — parallel grid sweep
+# ===========================================================================
+def _comp_grid(ratio: float, min_th: float, max_ratio: float, expander: bool):
+    """(ratio, threshold) candidate grid in the reference's search order
+    (``utils_data_normalization.py:386-409``)."""
+    ratios = np.linspace(ratio, max_ratio, int(max_ratio - ratio + 1))
+    if expander:
+        ths = np.linspace(-1, min_th, int(2 * abs(min_th) - 1))[::-1]
+    else:
+        ths = np.linspace(-1 - 9, min_th, int(2 * abs(min_th) - 1 - 18))
+    R, T = np.meshgrid(ratios, ths, indexing="ij")  # row-major: ratio outer loop
+    return R.reshape(-1).astype(np.float32), T.reshape(-1).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "percentile", "mode"))
+def _comp_match_select(
+    x: jnp.ndarray,
+    ratios: jnp.ndarray,
+    ths: jnp.ndarray,
+    attack: float,
+    release: float,
+    ref_peak: float,
+    ref_std: float,
+    sample_rate: int,
+    percentile: float,
+    mode: str,
+) -> jnp.ndarray:
+    """Run the whole candidate grid as one batched compressor, measure the
+    onset-peak feature per candidate, and pick the first candidate (reference
+    scan order) whose peak crosses the target band."""
+    G = ratios.shape[0]
+    xg = jnp.broadcast_to(x[None, :], (G, x.shape[-1]))
+    rr = ratios[:, None] if mode == "down" else (1.0 / ratios)[:, None]
+    y = compressor_process(
+        xg, ths[:, None], attack, release, rr, 0.0, sample_rate=sample_rate
+    )
+    y = jnp.where(jnp.max(jnp.abs(y), axis=-1, keepdims=True) >= 1.0, jnp.clip(y, -1, 1), y)
+    peaks, _ = measure_mean_peak(y, percentile=percentile)
+    ok = peaks < (ref_peak + ref_std) if mode == "down" else peaks > (ref_peak - ref_std)
+    first = jnp.argmax(ok)  # first True in grid order; 0 if none
+    idx = jnp.where(jnp.any(ok), first, G - 1)  # reference falls through to last
+    return y[idx]
+
+
+def comp_match(
+    audio: jnp.ndarray,
+    ref_peak: float,
+    ref_std: float,
+    ratio: float,
+    attack_ms: float,
+    release_ms: float,
+    sr: int = 44100,
+    min_db: float = -50.0,
+    comp_peak_norm: float = -10.0,
+    min_th: float = -40.0,
+    max_ratio: float = 20.0,
+    percentile: float = 75.0,
+    expander: bool = True,
+) -> jnp.ndarray:
+    """Compression matching of a mono channel ``[T]``
+    (reference ``get_comp_matching``, ``utils_data_normalization.py:357-429``).
+
+    Downward-compress when the onset-peak feature is above the target band,
+    upward-expand (optional) when below; the parameter search runs as one
+    parallel sweep instead of nested host loops.
+    """
+    peak_db_in = amp_to_db(float(jnp.max(jnp.abs(audio))))
+    if peak_db_in <= min_db:
+        return audio
+
+    x = peak_normalize(audio, comp_peak_norm)
+    peak, _std = measure_mean_peak(x, percentile=percentile)
+    peak = float(peak)
+
+    if (ref_peak - ref_std) < peak < (ref_peak + ref_std):
+        return x
+    if peak > ref_peak - ref_std:  # too dynamic -> downward compression
+        R, T = _comp_grid(ratio, min_th, max_ratio, expander=False)
+        return _comp_match_select(
+            x, jnp.asarray(R), jnp.asarray(T), attack_ms, release_ms,
+            ref_peak, ref_std, sr, percentile, "down",
+        )
+    if expander:  # too flat -> upward expansion
+        R, T = _comp_grid(ratio, min_th, max_ratio, expander=True)
+        return _comp_match_select(
+            x, jnp.asarray(R), jnp.asarray(T), attack_ms, release_ms,
+            ref_peak, ref_std, sr, percentile, "up",
+        )
+    return x

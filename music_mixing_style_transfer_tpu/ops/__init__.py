@@ -10,6 +10,7 @@ from .stft import (
     stft,
 )
 from .biquad import (
+    rbj_poles,
     biquad_apply,
     biquad_apply_scan,
     biquad_cascade,

@@ -15,7 +15,7 @@ All filters follow scipy ``lfilter`` zero initial-state semantics.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -80,6 +80,55 @@ def rbj_coeffs(filter_type: str, G_db, Q, fc, rate) -> jnp.ndarray:
     return jnp.stack([b0 / a0, b1 / a0, b2 / a0, a1 / a0, a2 / a0]).astype(jnp.float32)
 
 
+def rbj_poles(filter_type: str, G_db, Q, fc, rate) -> jnp.ndarray:
+    """Analytic pole pair of the RBJ designs — no discriminant cancellation.
+
+    For all five types the normalized discriminant reduces to
+    ``alpha'^2 - sin^2(w0)`` (with ``alpha' = alpha/A`` for peaking,
+    ``alpha`` otherwise), which is numerically benign; float32 cannot compute
+    it from ``a1^2 - 4 a2`` (total cancellation at critical damping, and
+    XLA's simplifier defeats compensated-arithmetic tricks under jit).
+
+    Returns complex64 ``[..., 2]``.
+    """
+    G_db = jnp.asarray(G_db, jnp.float32)
+    A = 10.0 ** (G_db / 40.0)
+    w0 = 2.0 * jnp.pi * (fc / rate)
+    cosw, sinw = jnp.cos(w0), jnp.sin(w0)
+    alpha = sinw / (2.0 * Q)
+
+    if filter_type in ("peaking",):
+        ap = alpha / A
+        s = jnp.sqrt((ap * ap - sinw * sinw).astype(jnp.complex64))
+        denom = (1.0 + ap).astype(jnp.complex64)
+        p1 = (cosw + s) / denom
+        p2 = (cosw - s) / denom
+    elif filter_type in ("low_pass", "high_pass"):
+        s = jnp.sqrt((alpha * alpha - sinw * sinw).astype(jnp.complex64))
+        denom = (1.0 + alpha).astype(jnp.complex64)
+        p1 = (cosw + s) / denom
+        p2 = (cosw - s) / denom
+    elif filter_type in ("low_shelf", "high_shelf"):
+        sqA = jnp.sqrt(A)
+        s = jnp.sqrt((alpha * alpha - sinw * sinw).astype(jnp.complex64))
+        # low_shelf:  u = (A-1) + (A+1) cosw,  a0 = (A+1) + (A-1) cosw + 2 sqA alpha
+        # high_shelf: u = (A+1) cosw - (A-1),  a0 = (A+1) - (A-1) cosw + 2 sqA alpha
+        if filter_type == "low_shelf":
+            u = (A - 1) + (A + 1) * cosw
+            a0 = (A + 1) + (A - 1) * cosw + 2 * sqA * alpha
+        else:
+            u = (A + 1) * cosw - (A - 1)
+            a0 = (A + 1) - (A - 1) * cosw + 2 * sqA * alpha
+        u = u.astype(jnp.complex64)
+        a0 = a0.astype(jnp.complex64)
+        p1 = (u + 2.0 * sqA * s) / a0
+        p2 = (u - 2.0 * sqA * s) / a0
+    else:
+        raise ValueError(f"unknown filter type: {filter_type}")
+
+    return jnp.stack([p1, p2], axis=-1).astype(jnp.complex64)
+
+
 # --------------------------------------------------------------------------
 # application
 # --------------------------------------------------------------------------
@@ -121,7 +170,9 @@ def _compensated_disc(a1: jnp.ndarray, a2: jnp.ndarray) -> jnp.ndarray:
     return (p - 4.0 * a2) + err
 
 
-def biquad_apply(x: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:
+def biquad_apply(
+    x: jnp.ndarray, coeffs: jnp.ndarray, poles: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
     """Parallel biquad as a cascade of two first-order associative scans.
 
     The AR recurrence ``y[n] = f[n] - a1 y[n-1] - a2 y[n-2]`` (with FIR part
@@ -136,6 +187,13 @@ def biquad_apply(x: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:
     poles) and is far better conditioned in float32 than composing 2x2
     companion matrices. NRMSE vs float64 scipy ``lfilter`` is ~1e-5 even for
     an 80 Hz shelf or a critically-damped 38 Hz high-pass.
+
+    Args:
+        poles: optional analytic pole pair ``[..., 2]`` complex (e.g. from
+            :func:`rbj_poles`, or host-side ``np.roots`` for scipy designs).
+            When absent, poles are recovered from ``a1, a2`` — accurate except
+            near critical damping (float32 discriminant cancellation), so
+            prefer passing them for traced/random filter parameters.
     """
     b = coeffs[..., :3]
     a1 = coeffs[..., 3]
@@ -146,9 +204,20 @@ def biquad_apply(x: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:
     x2 = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(2, 0)])[..., :-2]
     f = b[..., 0:1] * x + b[..., 1:2] * x1 + b[..., 2:3] * x2
 
-    disc = jnp.sqrt(_compensated_disc(a1, a2).astype(jnp.complex64))
-    p1 = (-a1.astype(jnp.complex64) + disc) / 2.0
-    p2 = (-a1.astype(jnp.complex64) - disc) / 2.0
+    if poles is not None:
+        p1 = poles[..., 0]
+        p2 = poles[..., 1]
+    else:
+        disc = jnp.sqrt(_compensated_disc(a1, a2).astype(jnp.complex64))
+        p1 = (-a1.astype(jnp.complex64) + disc) / 2.0
+        p2 = (-a1.astype(jnp.complex64) - disc) / 2.0
+    # stability guard: designed filters are stable; any |p|>1 is numerical
+    # error and would overflow the scan — clamp the radius
+    def _clamp(p):
+        r = jnp.abs(p)
+        return jnp.where(r > 0.999999, p * (0.999999 / r), p)
+
+    p1, p2 = _clamp(p1), _clamp(p2)
 
     def bcast(p):
         return jnp.broadcast_to(

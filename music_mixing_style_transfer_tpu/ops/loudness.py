@@ -19,21 +19,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .biquad import biquad_apply, rbj_coeffs
+from .biquad import biquad_apply, rbj_coeffs, rbj_poles
 from .stft import frame
 
 
-def k_weighting_coeffs(rate: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(high_shelf, high_pass) biquad coefficient vectors for sample rate."""
-    shelf = rbj_coeffs("high_shelf", 4.0, 1.0 / np.sqrt(2.0), 1500.0, rate)
-    hpf = rbj_coeffs("high_pass", 0.0, 0.5, 38.0, rate)
-    return shelf, hpf
+def k_weighting_coeffs(rate: float):
+    """(high_shelf, high_pass) biquad (coeffs, poles) for sample rate."""
+    shelf_args = ("high_shelf", 4.0, 1.0 / np.sqrt(2.0), 1500.0, rate)
+    hpf_args = ("high_pass", 0.0, 0.5, 38.0, rate)
+    return (
+        (rbj_coeffs(*shelf_args), rbj_poles(*shelf_args)),
+        (rbj_coeffs(*hpf_args), rbj_poles(*hpf_args)),
+    )
 
 
 def k_weight(x: jnp.ndarray, rate: float) -> jnp.ndarray:
     """Apply the two-stage K pre-filter over the last axis."""
-    shelf, hpf = k_weighting_coeffs(rate)
-    return biquad_apply(biquad_apply(x, shelf), hpf)
+    (sc, sp), (hc, hp) = k_weighting_coeffs(rate)
+    return biquad_apply(biquad_apply(x, sc, poles=sp), hc, poles=hp)
 
 
 @partial(jax.jit, static_argnames=("rate",))

@@ -1,0 +1,25 @@
+from .checkpoint import CheckpointManager
+from .contrastive import (
+    init_contrastive,
+    make_contrastive_train_step,
+    make_sharded_contrastive_step,
+)
+from .converter import (
+    init_converter,
+    make_converter_train_step,
+    make_sharded_converter_step,
+)
+from .state import TrainState, create_train_state, make_optimizer
+
+__all__ = [
+    "CheckpointManager",
+    "TrainState",
+    "create_train_state",
+    "make_optimizer",
+    "init_contrastive",
+    "make_contrastive_train_step",
+    "make_sharded_contrastive_step",
+    "init_converter",
+    "make_converter_train_step",
+    "make_sharded_converter_step",
+]

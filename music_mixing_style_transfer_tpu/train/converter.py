@@ -1,0 +1,124 @@
+"""MixFXcloner (converter) training.
+
+TPU re-design of the reference converter step (SURVEY.md §3.5): with a frozen
+pretrained FXencoder, each example is a triplet
+``(A1 input, A2 ground truth, B2 reference)`` where A2/B2 got the SAME random
+FX; the TCN converts A1 conditioned on ``FXencoder(B2)`` and is trained with
+the multi-scale mid/side spectral loss + RMS gain loss.
+
+Data parallel over the ``data`` mesh axis, gradients pmean-ed.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import FXencoderConfig, TCNConfig, TrainConfig
+from ..losses import multiscale_spectral_midside, rms_loss
+from ..models import FXencoder, MixFXcloner
+from .state import TrainState, create_train_state, make_optimizer
+
+
+def converter_loss_fn(
+    converter: MixFXcloner,
+    encoder: FXencoder,
+    params,
+    batch_stats,
+    enc_vars: Dict[str, Any],
+    a1: jnp.ndarray,
+    a2: jnp.ndarray,
+    b2: jnp.ndarray,
+    rms_weight: float = 0.1,
+) -> Tuple[jnp.ndarray, Any]:
+    """``a1/a2/b2``: ``[B_local, 2, T]`` stacked across instruments upstream."""
+    emb = jax.lax.stop_gradient(encoder.apply(enc_vars, b2))
+    pred, updates = converter.apply(
+        {"params": params, "batch_stats": batch_stats},
+        a1,
+        emb,
+        mutable=["batch_stats"],
+    )
+    loss = multiscale_spectral_midside(pred, a2) + rms_weight * rms_loss(pred, a2)
+    return loss, updates["batch_stats"]
+
+
+def make_converter_train_step(
+    converter: MixFXcloner,
+    encoder: FXencoder,
+    enc_vars: Dict[str, Any],
+    tx: optax.GradientTransformation,
+    rms_weight: float = 0.1,
+    axis_name: Optional[str] = None,
+) -> Callable:
+    def step(state: TrainState, a1, a2, b2):
+        def loss_fn(params):
+            return converter_loss_fn(
+                converter, encoder, params, state.batch_stats, enc_vars,
+                a1, a2, b2, rms_weight,
+            )
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            loss,
+        )
+
+    return step
+
+
+def make_sharded_converter_step(
+    converter: MixFXcloner,
+    encoder: FXencoder,
+    enc_vars: Dict[str, Any],
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    rms_weight: float = 0.1,
+    axis: str = "data",
+):
+    step = make_converter_train_step(
+        converter, encoder, enc_vars, tx, rms_weight, axis_name=axis
+    )
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        # the FFT transpose rule in the spectral loss confuses the static
+        # varying-axes checker (cotangent vma mismatch); the computation is
+        # purely batch-sharded so the check adds nothing here
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def init_converter(
+    config: Optional[TCNConfig] = None,
+    train_cfg: Optional[TrainConfig] = None,
+    seed: int = 0,
+    example_length: int = 2**14,
+) -> Tuple[MixFXcloner, TrainState, optax.GradientTransformation]:
+    cfg = config or TCNConfig()
+    tcfg = train_cfg or TrainConfig()
+    converter = MixFXcloner(config=cfg, train=True)
+    variables = converter.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((2, cfg.ninputs, example_length)),
+        jnp.zeros((2, cfg.condition_dimension)),
+    )
+    tx = make_optimizer(tcfg.learning_rate, tcfg.weight_decay)
+    return converter, create_train_state(variables, tx), tx

@@ -1,0 +1,141 @@
+"""FX-normalization tests: loudness/EQ/compression/imager matching."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from music_mixing_style_transfer_tpu.config import NormalizationConfig
+from music_mixing_style_transfer_tpu.normalize import (
+    AudioEffectsNormalizer,
+    eq_match,
+    measure_mean_peak,
+    normalize_imager,
+    process_balance,
+)
+from music_mixing_style_transfer_tpu.ops import integrated_loudness
+
+FEATURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "music_mixing_style_transfer_tpu",
+    "weights",
+    "musdb18_fxfeatures_eqcompimagegain.npy",
+)
+
+SR = 44100
+
+
+@pytest.fixture(scope="module")
+def normalizer():
+    return AudioEffectsNormalizer(FEATURES)
+
+
+def _music_like(rng, seconds=3.0, channels=2):
+    """Broadband noise with some tonal content and onsets."""
+    T = int(SR * seconds)
+    t = np.arange(T) / SR
+    x = 0.1 * rng.standard_normal((channels, T))
+    x += 0.2 * np.sin(2 * np.pi * 220 * t)[None, :]
+    env = (np.sin(2 * np.pi * 2.0 * t) > 0.6).astype(np.float32)
+    x *= 0.3 + env[None, :]
+    return (x * 0.3).astype(np.float32)
+
+
+def test_feature_loading(normalizer):
+    f = normalizer.features
+    assert set(f.keys()) >= {"eq", "compression", "imager", "loudness"}
+    assert f["eq"]["vocals"].shape == (32769,)
+    # loudness targets from the shipped file
+    assert -30 < float(np.ravel(f["loudness"]["vocals"])[0]) < -20
+
+
+def test_loudness_stage_hits_target(normalizer, rng):
+    x = _music_like(rng)
+    y = normalizer.normalize_audio_per_effect(x, "vocals", "loudness")
+    target = float(np.ravel(normalizer.features["loudness"]["vocals"])[0])
+    out = float(integrated_loudness(jnp.asarray(y.T), SR))
+    assert abs(out - target) < 0.5
+    assert y.shape == x.shape
+
+
+def test_eq_stage_moves_spectrum_toward_target(normalizer, rng):
+    from music_mixing_style_transfer_tpu.normalize.matching import (
+        amp_to_db,
+        average_magnitude_spectrum,
+    )
+
+    cfg = normalizer.cfg
+    x = _music_like(rng, seconds=4.0)
+    y = normalizer.normalize_audio_per_effect(x, "vocals", "eq")
+    assert y.shape == x.shape
+
+    ref = normalizer.features["eq"]["vocals"]
+    pad = np.pad(x, ((0, 0), (cfg.fft_size, cfg.fft_size)))
+    pady = np.pad(y, ((0, 0), (cfg.fft_size, cfg.fft_size)))
+    sx = np.asarray(average_magnitude_spectrum(jnp.asarray(pad[0]), cfg.fft_size, cfg.hop_length))
+    sy = np.asarray(average_magnitude_spectrum(jnp.asarray(pady[0]), cfg.fft_size, cfg.hop_length))
+    # distance to target curve (in dB, over the audible band) should shrink
+    band = slice(10, 20000)
+    ref_db = amp_to_db(ref[band])
+
+    def dist(s):
+        d = amp_to_db(s[band]) - ref_db
+        return np.mean(np.abs(d - np.mean(d)))  # shape distance, gain-invariant
+
+    assert dist(sy) < dist(sx)
+
+
+def test_mean_peak_feature(rng):
+    x = _music_like(rng, seconds=2.0)[0]
+    mean, std = measure_mean_peak(jnp.asarray(x))
+    assert np.isfinite(float(mean))
+    assert float(mean) < 0.0  # dB of |x|<1
+    # louder signal -> higher mean peak
+    mean2, _ = measure_mean_peak(jnp.asarray(x * 2))
+    assert float(mean2) > float(mean)
+
+
+def test_compression_stage_runs(normalizer, rng):
+    x = _music_like(rng, seconds=2.0)
+    y = normalizer.normalize_audio_per_effect(x, "drums", "compression")
+    assert y.shape == x.shape
+    assert np.isfinite(y).all()
+
+
+def test_process_balance():
+    rng = np.random.default_rng(0)
+    d1 = jnp.asarray(rng.standard_normal(1000).astype(np.float32))
+    d2 = jnp.asarray(rng.standard_normal(1000).astype(np.float32) * 0.1)
+    n1, n2 = process_balance(d1, d2, tgt_e1_bal=0.3)
+    e1 = float(jnp.sum(n1**2))
+    e2 = float(jnp.sum(n2**2))
+    assert abs(e1 / (e1 + e2) - 0.3) < 0.01
+
+
+def test_imager_normalization_balances_midside(rng):
+    x = _music_like(rng, seconds=1.0)
+    x[1] = x[0] * 0.95 + 0.05 * rng.standard_normal(x.shape[1]).astype(np.float32)
+    target = 0.85
+    y = np.asarray(normalize_imager(jnp.asarray(x), target_side_mid_bal=target))
+    mid, side = y[0] + y[1], y[0] - y[1]
+    bal = np.sum(side**2) / (np.sum(mid**2) + np.sum(side**2))
+    # normalize_imager's target is the *side* fraction of ms energy
+    assert abs(bal - (1 - target)) < 0.05 or abs(bal - target) < 0.05
+
+
+def test_full_normalization_chain(normalizer, rng):
+    x = _music_like(rng, seconds=2.0)
+    y = normalizer.normalize_audio(x, "other")
+    assert y.shape == x.shape
+    assert np.isfinite(y).all()
+    target = float(np.ravel(normalizer.features["loudness"]["other"])[0])
+    out = float(integrated_loudness(jnp.asarray(y.T), SR))
+    assert abs(out - target) < 1.0
+
+
+def test_silent_input_skipped(normalizer):
+    x = np.zeros((2, SR), np.float32)
+    y = normalizer.normalize_audio(x, "bass")
+    np.testing.assert_allclose(y, x)

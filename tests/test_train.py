@@ -1,0 +1,116 @@
+"""Training-step tests: contrastive + converter, single-device and sharded."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from music_mixing_style_transfer_tpu.config import FXencoderConfig, TCNConfig, TrainConfig
+from music_mixing_style_transfer_tpu.models import FXencoder, MixFXcloner
+from music_mixing_style_transfer_tpu.parallel import create_mesh
+from music_mixing_style_transfer_tpu.train import (
+    CheckpointManager,
+    create_train_state,
+    init_contrastive,
+    init_converter,
+    make_contrastive_train_step,
+    make_converter_train_step,
+    make_optimizer,
+    make_sharded_contrastive_step,
+    make_sharded_converter_step,
+)
+
+SMALL_ENC = FXencoderConfig(
+    channels=(8, 16), kernels=(25, 15), strides=(4, 4), dilation=(1, 1)
+)
+SMALL_TCN = TCNConfig(condition_dimension=16, nblocks=2, channel_width=8, kernel_size=7)
+T = 4096
+
+
+def test_contrastive_step_decreases_loss(rng):
+    enc, state, tx = init_contrastive(SMALL_ENC, example_length=T)
+    step = make_contrastive_train_step(enc, tx, temperature=0.1)
+    step = jax.jit(step)
+    a = jnp.asarray(rng.standard_normal((2, 4, 2, T)).astype(np.float32) * 0.2)
+    b = a + 0.01 * jnp.asarray(rng.standard_normal((2, 4, 2, T)).astype(np.float32))
+    losses = []
+    for _ in range(4):
+        state, loss = step(state, a, b)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 4
+
+
+def test_contrastive_sharded_matches_single(rng):
+    """Sharded step over a 4-device mesh == single-device step on the global
+    batch (the all_gather reproduces full-batch negatives; psum reconstructs
+    the exact global gradient). BatchNorm is disabled for exactness — with BN
+    the sharded step uses per-shard statistics like the reference's
+    per-replica BN (SyncBatchNorm commented out, network_utils.py:75-76)."""
+    cfg = FXencoderConfig(
+        channels=(8, 16), kernels=(25, 15), strides=(4, 4), dilation=(1, 1), norm="none"
+    )
+    enc, state, tx = init_contrastive(cfg, example_length=T, seed=3)
+    a = jnp.asarray(rng.standard_normal((1, 8, 2, T)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal((1, 8, 2, T)).astype(np.float32) * 0.2)
+
+    single = jax.jit(make_contrastive_train_step(enc, tx, 0.1))
+    s1, loss1 = single(state, a, b)
+
+    mesh = create_mesh(4)
+    sharded = make_sharded_contrastive_step(enc, tx, mesh, 0.1)
+    s2, loss2 = sharded(state, a, b)
+
+    assert abs(float(loss1) - float(loss2)) < 1e-4
+    # parameters after one step agree
+    d = jax.tree.map(
+        lambda x, y: float(jnp.max(jnp.abs(x - y))), s1.params, s2.params
+    )
+    assert max(jax.tree.leaves(d)) < 5e-5
+
+
+def test_converter_step_runs(rng):
+    enc_model = FXencoder(config=SMALL_ENC)
+    enc_vars = enc_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, T)))
+    conv, state, tx = init_converter(SMALL_TCN, example_length=T)
+    step = jax.jit(make_converter_train_step(conv, enc_model, enc_vars, tx))
+    a1 = jnp.asarray(rng.standard_normal((2, 2, T)).astype(np.float32) * 0.2)
+    a2 = jnp.asarray(rng.standard_normal((2, 2, T)).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.standard_normal((2, 2, T)).astype(np.float32) * 0.2)
+    losses = []
+    for _ in range(3):
+        state, loss = step(state, a1, a2, b2)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_converter_sharded_runs(rng):
+    enc_model = FXencoder(config=SMALL_ENC)
+    enc_vars = enc_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, T)))
+    conv, state, tx = init_converter(SMALL_TCN, example_length=T)
+    mesh = create_mesh(4)
+    step = make_sharded_converter_step(conv, enc_model, enc_vars, tx, mesh)
+    a1 = jnp.asarray(rng.standard_normal((4, 2, T)).astype(np.float32) * 0.2)
+    a2 = jnp.asarray(rng.standard_normal((4, 2, T)).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.standard_normal((4, 2, T)).astype(np.float32) * 0.2)
+    state, loss = step(state, a1, a2, b2)
+    assert np.isfinite(float(loss))
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    enc, state, tx = init_contrastive(SMALL_ENC, example_length=T)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    mgr.save(1, state)
+    state2 = jax.tree.map(lambda x: x * 0, state)
+    mgr.save(2, state2)
+    assert mgr.latest_step() == 2
+    restored = mgr.restore(state)
+    leaf0 = jax.tree.leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(leaf0), 0.0)
+    restored1 = mgr.restore(state, step=1)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored1.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]),
+    )
