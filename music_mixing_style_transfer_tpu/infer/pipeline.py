@@ -77,8 +77,8 @@ class StyleTransferEngine:
             self.conv_vars = self.converter.init(
                 k2, jnp.zeros((1, 2, 2**14)), jnp.zeros((1, self.converter_cfg.condition_dimension))
             )
-        self.enc_vars = jax.tree.map(lambda a: jnp.asarray(a), self.enc_vars)
-        self.conv_vars = jax.tree.map(lambda a: jnp.asarray(a), self.conv_vars)
+        self.enc_vars = jax.tree.map(lambda a: jnp.asarray(a, dtype=self.dtype), self.enc_vars)
+        self.conv_vars = jax.tree.map(lambda a: jnp.asarray(a, dtype=self.dtype), self.conv_vars)
 
         # jitted kernels (cached per input bucket shape)
         @jax.jit

@@ -1,0 +1,46 @@
+"""Host-side fast model initialization.
+
+``module.init`` jit-compiles a giant RNG program (3+ minutes for the 81M-param
+FXencoder on a TPU over a slow link). For benchmarking and fresh training runs
+we instead materialize parameters on host with numpy (matching the torch
+default init distributions used by the parity layout) and device_put once.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _fill(rng: np.random.Generator, path: str, shape) -> np.ndarray:
+    """torch-style kaiming-uniform-ish fill keyed on the param name."""
+    shape = tuple(shape)
+    name = path.split("/")[-1]
+    if name in ("scale",) or name == "var":
+        return np.ones(shape, np.float32)
+    if name in ("bias",) and len(shape) == 1:
+        # keep small uniform like torch bias init
+        bound = 1.0 / math.sqrt(max(shape[0], 1))
+        return rng.uniform(-bound, bound, shape).astype(np.float32)
+    if name == "mean":
+        return np.zeros(shape, np.float32)
+    if len(shape) >= 2:
+        fan_in = int(np.prod(shape[1:]))
+        bound = math.sqrt(3.0) / math.sqrt(max(fan_in, 1))
+        return rng.uniform(-bound, bound, shape).astype(np.float32)
+    return rng.uniform(-0.05, 0.05, shape).astype(np.float32)
+
+
+def fast_init(module, *example_args, seed: int = 0) -> Dict[str, Any]:
+    """Initialize a flax module's variables without compiling an init program."""
+    shapes = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *example_args))
+    rng = np.random.default_rng(seed)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    leaves = []
+    for path, leaf in flat:
+        name = "/".join(str(p) for p in path)
+        leaves.append(jnp.asarray(_fill(rng, name, leaf.shape)))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
