@@ -1,7 +1,14 @@
 from .wavio import read_wav, read_wav_stereo_ct, total_wav_length, wav_length, write_wav
 from .segments import pad_to_batches, reassemble_song, segment_song
+from .datasets import ContrastivePairDataset, StyleTransferTripletDataset
+from .prep import load_ir_bank, load_wav_dir, trim_silence
 
 __all__ = [
+    "ContrastivePairDataset",
+    "StyleTransferTripletDataset",
+    "load_ir_bank",
+    "load_wav_dir",
+    "trim_silence",
     "read_wav",
     "read_wav_stereo_ct",
     "write_wav",

@@ -1,0 +1,363 @@
+"""Training datasets: MUSDB-style FX-manipulated pair/triplet sampling.
+
+TPU re-design of the reference data loaders (``data_loader/data_loader.py``):
+the reference manipulates audio per-sample inside CPU DataLoader workers;
+here the host only reads raw WAV segments — ALL effects run batched on
+device via the jittable FX chains (``fx/``), which is both faster and exactly
+reproducible from PRNG keys.
+
+- :class:`ContrastivePairDataset` (reference
+  ``MUSDB_Dataset_Mixing_Manipulated_FXencoder`` :115-348): two segments
+  (A, B) of different content per instrument; ``num_strong_negatives+1``
+  independent FX draws applied to the SAME (A, B) pair produce positives
+  (A_k, B_k) and strong negatives (A_j, B_j, j != k).
+- :class:`StyleTransferTripletDataset` (reference
+  ``MUSDB_Dataset_Mixing_Manipulated_Style_Transfer`` :356-539): triplets
+  (A1 raw input, A2 ground truth, B2 reference) with the same FX on A2/B2.
+- random-duration collate (reference
+  ``Collate_Variable_Length_Segments`` :33-102): crop lengths are sampled in
+  [L/2, L) shared per batch and bucketed to multiples of 4096 so XLA sees a
+  small, finite set of shapes.
+- val-mode determinism: per-index fixed seeds + on-disk WAV caching of
+  manipulated segments (reference :202-220).
+"""
+from __future__ import annotations
+
+import glob as globlib
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fx import make_instrument_manipulators
+from .wavio import read_wav, wav_length, write_wav
+
+PAD_B4_MANIPULATION = 2048  # reference data_loader.py:127
+
+def _bucket_length(n: int, quantum: int = 4096) -> int:
+    return max(quantum, (n // quantum) * quantum)
+
+
+class _MUSDBFiles:
+    """Per-instrument file lists with duration-ratio sampling weights
+    (reference ``data_loader.py:135-146``)."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        instruments: Sequence[str],
+        use_normalized: bool = True,
+        normalization_order: str = "eqcompimagegain",
+    ):
+        self.paths: Dict[str, List[str]] = {}
+        self.weights: Dict[str, np.ndarray] = {}
+        self.lengths: Dict[str, List[int]] = {}
+        for inst in instruments:
+            if use_normalized:
+                pattern = f"{data_dir}/{inst}_normalized_{normalization_order}_silence_trimmed*.wav"
+            else:
+                pattern = f"{data_dir}/{inst}_silence_trimmed*.wav"
+            paths = sorted(globlib.glob(pattern))
+            if not paths:
+                raise FileNotFoundError(f"no files match {pattern}")
+            lengths = [wav_length(p) for p in paths]
+            total = sum(lengths)
+            self.paths[inst] = paths
+            self.lengths[inst] = lengths
+            self.weights[inst] = np.asarray(lengths, np.float64) / total
+
+    def sample_segments(
+        self, rng: np.random.Generator, inst: str, n: int, duration: int
+    ) -> np.ndarray:
+        """Load ``n`` random segments ``[n, 2, duration]`` (length-weighted
+        file choice, random start)."""
+        out = np.zeros((n, 2, duration), np.float32)
+        idxs = rng.choice(len(self.paths[inst]), size=n, p=self.weights[inst])
+        for i, fi in enumerate(idxs):
+            path = self.paths[inst][fi]
+            last = self.lengths[inst][fi] - duration
+            start = int(rng.integers(0, max(last, 1)))
+            seg, _ = read_wav(path, start=start, duration=duration)
+            out[i] = seg.T[:2] if seg.shape[1] >= 2 else np.repeat(seg.T, 2, 0)
+        return out
+
+
+class ContrastivePairDataset:
+    """FXencoder contrastive data: per-instrument manipulated (A, B) views."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        mode: str = "train",
+        instruments: Sequence[str] = ("drums", "bass", "other", "vocals"),
+        segment_length: int = 2**17,
+        num_strong_negatives: int = 1,
+        apply_prob_dict: Optional[Dict[str, float]] = None,
+        reverb_prob: Optional[Dict[str, float]] = None,
+        ir_bank: Optional[np.ndarray] = None,
+        use_normalized: bool = True,
+        normalization_order: str = "eqcompimagegain",
+        fixed_random_seed: int = 777,
+        val_cache_dir: Optional[str] = None,
+        sample_rate: int = 44100,
+        pad_b4_manipulation: bool = True,
+    ):
+        self.files = _MUSDBFiles(
+            os.path.join(data_dir, mode), instruments, use_normalized, normalization_order
+        )
+        self.mode = mode
+        self.instruments = tuple(instruments)
+        self.segment_length = segment_length
+        self.num_strong_negatives = num_strong_negatives
+        self.fixed_random_seed = fixed_random_seed
+        self.val_cache_dir = val_cache_dir
+        self.sample_rate = sample_rate
+        self.pad = PAD_B4_MANIPULATION if pad_b4_manipulation else 0
+
+        self.manipulators = make_instrument_manipulators(
+            instruments, apply_prob_dict, reverb_prob, ir_bank, sample_rate
+        )
+        self._jitted = {
+            inst: jax.jit(jax.vmap(chain, in_axes=(0, 0)))
+            for inst, chain in self.manipulators.items()
+        }
+
+    # ------------------------------------------------------------------
+    def _rng_for(self, idx: int, epoch_seed: Optional[int]) -> np.random.Generator:
+        if self.mode == "train":
+            base = np.random.SeedSequence([epoch_seed or 0, idx])
+            return np.random.default_rng(base)
+        return np.random.default_rng(idx * self.fixed_random_seed)
+
+    def _keys_for(self, idx: int, epoch_seed: Optional[int], n: int) -> jax.Array:
+        if self.mode == "train":
+            key = jax.random.PRNGKey((epoch_seed or 0) * 1_000_003 + idx)
+        else:
+            key = jax.random.PRNGKey(idx * self.fixed_random_seed)
+        return jax.random.split(key, n)
+
+    # ------------------------------------------------------------------
+    def sample_batch(
+        self, indices: Sequence[int], epoch_seed: Optional[int] = None
+    ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+        """Produce a batch of manipulated views.
+
+        Returns two dicts (A, B): ``inst -> [B*(negs+1), 2, L]`` — layout
+        matching the reference collate output (views of one item are
+        adjacent).
+        """
+        K = self.num_strong_negatives + 1
+        load_len = self.segment_length + 2 * self.pad
+        out_a: Dict[str, List[np.ndarray]] = {i: [] for i in self.instruments}
+        out_b: Dict[str, List[np.ndarray]] = {i: [] for i in self.instruments}
+
+        for idx in indices:
+            cached = self._load_val_cache(idx)
+            if cached is not None:
+                for inst in self.instruments:
+                    for k in range(K):
+                        a, b = cached[inst][k]
+                        out_a[inst].append(a)
+                        out_b[inst].append(b)
+                continue
+
+            rng = self._rng_for(idx, epoch_seed)
+            keys = self._keys_for(idx, epoch_seed, K * len(self.instruments))
+            cache: Dict[str, List[Tuple[np.ndarray, np.ndarray]]] = {}
+            for ii, inst in enumerate(self.instruments):
+                segs = self.files.sample_segments(rng, inst, 2, load_len)
+                pair = jnp.asarray(segs)  # [2, 2, L+pad]
+                pair_k = jnp.broadcast_to(pair[None], (K,) + pair.shape)
+                manipulated = np.asarray(
+                    self._jitted[inst](keys[ii * K : (ii + 1) * K], pair_k)
+                )  # [K, 2, 2, L+pad]
+                if self.pad:
+                    manipulated = manipulated[..., self.pad : -self.pad]
+                manipulated = np.clip(manipulated, -1.0, 1.0)
+                cache[inst] = []
+                for k in range(K):
+                    out_a[inst].append(manipulated[k, 0])
+                    out_b[inst].append(manipulated[k, 1])
+                    cache[inst].append((manipulated[k, 0], manipulated[k, 1]))
+            self._save_val_cache(idx, cache)
+
+        return (
+            {i: np.stack(v) for i, v in out_a.items()},
+            {i: np.stack(v) for i, v in out_b.items()},
+        )
+
+    # ------------------------------------------------------------------
+    def collate_random_duration(
+        self,
+        batch_a: Dict[str, np.ndarray],
+        batch_b: Dict[str, np.ndarray],
+        rng: np.random.Generator,
+        quantum: int = 4096,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Random-duration crop shared across the batch (reference collate
+        :46-75), bucketed for shape stability.
+
+        Returns stacked arrays ``[n_inst, B, 2, La] / [..., Lb]``.
+        """
+        L = self.segment_length
+        la = _bucket_length(int(rng.integers(L // 2, L)), quantum)
+        lb = _bucket_length(int(rng.integers(L // 2, L)), quantum)
+        n_items = next(iter(batch_a.values())).shape[0]
+        sa = [int(rng.integers(0, L - la + 1)) for _ in range(n_items)]
+        sb = [int(rng.integers(0, L - lb + 1)) for _ in range(n_items)]
+        a = np.stack(
+            [
+                np.stack([batch_a[i][j, :, sa[j] : sa[j] + la] for j in range(n_items)])
+                for i in self.instruments
+            ]
+        )
+        b = np.stack(
+            [
+                np.stack([batch_b[i][j, :, sb[j] : sb[j] + lb] for j in range(n_items)])
+                for i in self.instruments
+            ]
+        )
+        return a, b
+
+    # ------------------------------------------------------------------
+    def _val_cache_path(self, idx: int) -> Optional[str]:
+        if self.mode != "val" or not self.val_cache_dir:
+            return None
+        return os.path.join(self.val_cache_dir, str(idx))
+
+    def _load_val_cache(self, idx: int):
+        path = self._val_cache_path(idx)
+        if path is None or not os.path.isdir(path):
+            return None
+        out = {}
+        for inst in self.instruments:
+            out[inst] = []
+            for k in range(self.num_strong_negatives + 1):
+                a, _ = read_wav(os.path.join(path, f"{inst}_A{k+1}.wav"))
+                b, _ = read_wav(os.path.join(path, f"{inst}_B{k+1}.wav"))
+                out[inst].append((a.T, b.T))
+        return out
+
+    def _save_val_cache(self, idx: int, cache) -> None:
+        path = self._val_cache_path(idx)
+        if path is None:
+            return
+        os.makedirs(path, exist_ok=True)
+        for inst, pairs in cache.items():
+            for k, (a, b) in enumerate(pairs):
+                write_wav(os.path.join(path, f"{inst}_A{k+1}.wav"), a.T, self.sample_rate)
+                write_wav(os.path.join(path, f"{inst}_B{k+1}.wav"), b.T, self.sample_rate)
+
+    # ------------------------------------------------------------------
+    def generate_contents_w_effects(
+        self, num_content: int, num_effects: int, out_dir: str, seed: int = 0
+    ) -> None:
+        """Data-inspection hook: write a grid of FX-manipulated contents +
+        mixtures to WAV for listening (reference ``data_loader.py:290-348``)."""
+        os.makedirs(out_dir, exist_ok=True)
+        rng = np.random.default_rng(seed)
+        keys = jax.random.split(jax.random.PRNGKey(seed), num_effects)
+        mixtures = np.zeros(
+            (num_effects, num_content, 2, self.segment_length), np.float32
+        )
+        for inst in self.instruments:
+            segs = self.files.sample_segments(
+                rng, inst, num_content, self.segment_length + 2 * self.pad
+            )
+            for c in range(num_content):
+                write_wav(
+                    os.path.join(out_dir, f"{inst}_ori_{c}.wav"),
+                    segs[c, :, self.pad : self.pad + self.segment_length].T
+                    if self.pad
+                    else segs[c].T,
+                    self.sample_rate,
+                )
+            for e in range(num_effects):
+                man = np.asarray(self.manipulators[inst](keys[e], jnp.asarray(segs)))
+                if self.pad:
+                    man = man[..., self.pad : -self.pad]
+                man = np.clip(man, -1, 1)
+                for c in range(num_content):
+                    tagc = f"{chr(65 + c // 26)}{chr(65 + c % 26)}{e+1}"
+                    write_wav(
+                        os.path.join(out_dir, f"{inst}_{tagc}.wav"),
+                        man[c].T,
+                        self.sample_rate,
+                    )
+                mixtures[e] += man[:, :, : self.segment_length]
+        for e in range(num_effects):
+            for c in range(num_content):
+                tagc = f"{chr(65 + c // 26)}{chr(65 + c % 26)}{e+1}"
+                write_wav(
+                    os.path.join(out_dir, f"mixture_{tagc}.wav"),
+                    np.clip(mixtures[e, c], -1, 1).T,
+                    self.sample_rate,
+                )
+
+
+class StyleTransferTripletDataset:
+    """Converter training data: (A1 input, A2 ground truth, B2 reference)."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        mode: str = "train",
+        instruments: Sequence[str] = ("drums", "bass", "other", "vocals"),
+        segment_length: int = 2**17,
+        apply_prob_dict: Optional[Dict[str, float]] = None,
+        reverb_prob: Optional[Dict[str, float]] = None,
+        ir_bank: Optional[np.ndarray] = None,
+        use_normalized: bool = True,
+        normalization_order: str = "eqcompimagegain",
+        fixed_random_seed: int = 777,
+        sample_rate: int = 44100,
+        pad_b4_manipulation: bool = True,
+    ):
+        self.files = _MUSDBFiles(
+            os.path.join(data_dir, mode), instruments, use_normalized, normalization_order
+        )
+        self.mode = mode
+        self.instruments = tuple(instruments)
+        self.segment_length = segment_length
+        self.fixed_random_seed = fixed_random_seed
+        self.sample_rate = sample_rate
+        self.pad = PAD_B4_MANIPULATION if pad_b4_manipulation else 0
+        self.manipulators = make_instrument_manipulators(
+            instruments, apply_prob_dict, reverb_prob, ir_bank, sample_rate
+        )
+        self._jitted = {
+            inst: jax.jit(chain) for inst, chain in self.manipulators.items()
+        }
+
+    def __len__(self) -> int:
+        inst = self.instruments[-1]
+        return sum(self.files.lengths[inst]) // self.segment_length
+
+    def sample_batch(
+        self, indices: Sequence[int], epoch_seed: Optional[int] = None
+    ) -> Dict[str, Dict[str, np.ndarray]]:
+        """Returns ``inst -> {'a1','a2','b2'} -> [B, 2, L]``."""
+        load_len = self.segment_length + 2 * self.pad
+        out: Dict[str, Dict[str, List[np.ndarray]]] = {
+            i: {"a1": [], "a2": [], "b2": []} for i in self.instruments
+        }
+        for idx in indices:
+            if self.mode == "train":
+                rng = np.random.default_rng(np.random.SeedSequence([epoch_seed or 0, idx]))
+                key = jax.random.PRNGKey((epoch_seed or 0) * 1_000_003 + idx)
+            else:
+                rng = np.random.default_rng(idx * self.fixed_random_seed)
+                key = jax.random.PRNGKey(idx * self.fixed_random_seed)
+            keys = jax.random.split(key, len(self.instruments))
+            for ii, inst in enumerate(self.instruments):
+                segs = self.files.sample_segments(rng, inst, 2, load_len)
+                man = np.asarray(self._jitted[inst](keys[ii], jnp.asarray(segs)))
+                sl = slice(self.pad, self.pad + self.segment_length)
+                out[inst]["a1"].append(np.clip(segs[0, :, sl], -1, 1))
+                out[inst]["a2"].append(np.clip(man[0, :, sl], -1, 1))
+                out[inst]["b2"].append(np.clip(man[1, :, sl], -1, 1))
+        return {
+            i: {k: np.stack(v) for k, v in d.items()} for i, d in out.items()
+        }

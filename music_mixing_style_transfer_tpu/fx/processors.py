@@ -468,7 +468,14 @@ class ConvolutionalReverb:
 
     name = "reverb"
 
-    def __init__(self, ir_bank: np.ndarray, sample_rate=44100, wet=1.0, dry=0.0):
+    def __init__(
+        self,
+        ir_bank: np.ndarray,
+        sample_rate=44100,
+        wet=1.0,
+        dry=0.0,
+        bucket_bounds: Optional[np.ndarray] = None,
+    ):
         ir = np.asarray(ir_bank, np.float32)
         assert ir.ndim == 3 and ir.shape[1] == 2, "IR bank must be [n, 2, L]"
         self.ir_bank = jnp.asarray(ir)
@@ -476,9 +483,21 @@ class ConvolutionalReverb:
         self.sample_rate = sample_rate
         self.wet = wet
         self.dry = dry
+        # RT60 buckets: uniform over buckets, then uniform within the bucket
+        # (reference samples IRs "according to RT60", common_audioeffects.py:714-717)
+        self.bucket_bounds = (
+            jnp.asarray(bucket_bounds, jnp.int32) if bucket_bounds is not None else None
+        )
 
     def sample(self, key) -> Dict[str, jnp.ndarray]:
-        return {"index": jax.random.randint(key, (), 0, self.ir_bank.shape[0])}
+        if self.bucket_bounds is None:
+            return {"index": jax.random.randint(key, (), 0, self.ir_bank.shape[0])}
+        k1, k2 = jax.random.split(key)
+        n_buckets = self.bucket_bounds.shape[0] - 1
+        b = jax.random.randint(k1, (), 0, n_buckets)
+        lo, hi = self.bucket_bounds[b], self.bucket_bounds[b + 1]
+        raw = jax.random.randint(k2, (), 0, self.ir_bank.shape[0])
+        return {"index": lo + raw % jnp.maximum(hi - lo, 1)}
 
     def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
         h = self.ir_bank[params["index"]]  # [2, L]
