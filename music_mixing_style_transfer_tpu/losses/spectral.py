@@ -97,6 +97,6 @@ def rms_loss(est: jnp.ndarray, tgt: jnp.ndarray, weight_factor: float = 100.0) -
     t = tgt.reshape(-1, tgt.shape[-1])
     rms_e = jnp.sqrt(jnp.mean(e**2, axis=-1))
     rms_t = jnp.sqrt(jnp.mean(t**2, axis=-1))
-    weight = jnp.clip(jnp.abs(rms_t - rms_e), a_min=1.0 / weight_factor) * weight_factor
+    weight = jnp.clip(jnp.abs(rms_t - rms_e), min=1.0 / weight_factor) * weight_factor
     mse = jnp.mean((rms_e - rms_t) ** 2)
     return jnp.mean(weight**1.5 * mse)

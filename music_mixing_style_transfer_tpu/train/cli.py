@@ -1,0 +1,92 @@
+"""Training CLI.
+
+Usage:
+    python -m music_mixing_style_transfer_tpu.train.cli fxencoder \
+        --data_dir /data/musdb_normalized --out_dir runs/enc --epochs 100
+    python -m music_mixing_style_transfer_tpu.train.cli converter \
+        --data_dir /data/musdb_normalized --out_dir runs/conv \
+        --encoder_ckpt runs/enc/ckpt
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..config import TrainConfig
+from .loop import train_converter, train_fxencoder
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("model", choices=["fxencoder", "converter"])
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--steps_per_epoch", type=int, default=40)
+    p.add_argument("--batch_items", type=int, default=4)
+    p.add_argument("--segment_length", type=int, default=2**17)
+    p.add_argument("--learning_rate", type=float, default=2e-4)
+    p.add_argument("--num_strong_negatives", type=int, default=1)
+    p.add_argument("--temperature", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_mesh", action="store_true")
+    p.add_argument("--encoder_ckpt", type=str, default=None,
+                   help="(converter) orbax dir or torch .pt of the frozen encoder")
+    p.add_argument("--prob_schedule", type=str, default=None,
+                   help="(fxencoder) target probs, e.g. 'eq=0.5,comp=0.5'")
+    args = p.parse_args(argv)
+
+    tcfg = TrainConfig(
+        segment_length=args.segment_length,
+        learning_rate=args.learning_rate,
+        num_strong_negatives=args.num_strong_negatives,
+        temperature=args.temperature,
+        seed=args.seed,
+    )
+
+    if args.model == "fxencoder":
+        target = None
+        if args.prob_schedule:
+            target = dict(
+                (k, float(v)) for k, v in
+                (kv.split("=") for kv in args.prob_schedule.split(","))
+            )
+        train_fxencoder(
+            args.data_dir,
+            args.out_dir,
+            train_cfg=tcfg,
+            epochs=args.epochs,
+            steps_per_epoch=args.steps_per_epoch,
+            batch_items=args.batch_items,
+            prob_schedule_target=target,
+            use_mesh=not args.no_mesh,
+        )
+    else:
+        if args.encoder_ckpt is None:
+            p.error("converter training requires --encoder_ckpt")
+        if args.encoder_ckpt.endswith(".pt"):
+            from ..models.torch_import import load_fxencoder_variables
+
+            enc_vars = load_fxencoder_variables(args.encoder_ckpt)
+        else:
+            from ..train import CheckpointManager, init_contrastive
+
+            _, state, _ = init_contrastive(train_cfg=tcfg)
+            mgr = CheckpointManager(args.encoder_ckpt)
+            state = mgr.restore(state)
+            enc_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        train_converter(
+            args.data_dir,
+            args.out_dir,
+            enc_vars,
+            train_cfg=tcfg,
+            epochs=args.epochs,
+            steps_per_epoch=args.steps_per_epoch,
+            batch_items=args.batch_items,
+            use_mesh=not args.no_mesh,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

