@@ -239,9 +239,18 @@ def _comp_match_select(
     G = ratios.shape[0]
     xg = jnp.broadcast_to(x[None, :], (G, x.shape[-1]))
     rr = ratios[:, None] if mode == "down" else (1.0 / ratios)[:, None]
-    y = compressor_process(
-        xg, ths[:, None], attack, release, rr, 0.0, sample_rate=sample_rate
-    )
+    if jax.default_backend() == "tpu":
+        # fused Pallas envelope kernel: the grid is exactly the wide-lane
+        # shape the kernel wants (ops/pallas/envelope.py)
+        from ..ops.pallas.envelope import compressor_pallas
+
+        y = compressor_pallas(
+            xg, ths, attack, release, rr[:, 0], sample_rate=sample_rate
+        )
+    else:
+        y = compressor_process(
+            xg, ths[:, None], attack, release, rr, 0.0, sample_rate=sample_rate
+        )
     y = jnp.where(jnp.max(jnp.abs(y), axis=-1, keepdims=True) >= 1.0, jnp.clip(y, -1, 1), y)
     peaks, _ = measure_mean_peak(y, percentile=percentile)
     ok = peaks < (ref_peak + ref_std) if mode == "down" else peaks > (ref_peak - ref_std)

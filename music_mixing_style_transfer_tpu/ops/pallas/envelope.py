@@ -1,0 +1,159 @@
+"""Pallas TPU kernel: fused compressor envelope follower.
+
+The compressor's one-pole attack/release smoothing is the only genuinely
+sequential-in-time op in the system (SURVEY.md §7.3). The ``lax.scan``
+version pays XLA while-loop overhead (~0.7 us/step); this kernel runs the
+whole recurrence as a tight in-VMEM ``fori_loop`` over (8, 128) lane tiles —
+1024 independent channels per grid block — and fuses the elementwise
+dB-domain prelude (static gain curve) and epilogue (gain application) so the
+audio makes exactly one HBM round trip.
+
+Layout: audio is packed to ``[n_lane_blocks, T, 8, 128]`` (time-major tiles,
+lanes in the minor dims). The time axis is chunked by the grid's minor
+dimension; the envelope state persists across chunks in a VMEM scratch
+(TPU grid iteration is sequential, so the carry is sound).
+
+Exactness: identical recurrence to the reference numba loop
+(``common_audioeffects.py:529-587``) in its branchless max-affine form
+(valid for attack <= release; see ``ops/compressor.py``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBLANES = 8
+BLOCK_LANES = LANES * SUBLANES  # 1024 channels per grid block
+
+
+def _envelope_kernel(
+    params_ref,  # [1, 4, 8, 128]  (threshold, ratio, a_att, a_rel) per lane
+    x_ref,       # [1, Tc, 8, 128] audio chunk
+    y_ref,       # [1, Tc, 8, 128] output chunk
+    state_ref,   # VMEM scratch [8, 128]: envelope carry
+):
+    t_chunk = pl.program_id(1)
+
+    @pl.when(t_chunk == 0)
+    def _():
+        state_ref[:, :] = jnp.zeros((SUBLANES, LANES), jnp.float32)
+
+    threshold = params_ref[0, 0]
+    ratio = params_ref[0, 1]
+    a_att = params_ref[0, 2]
+    a_rel = params_ref[0, 3]
+    one_m_att = 1.0 - a_att
+    one_m_rel = 1.0 - a_rel
+
+    is_comp = ratio > 1.0
+    is_exp = ratio < 1.0
+    inv_ratio = jnp.where(is_comp, 1.0 / ratio, ratio)
+
+    Tc = x_ref.shape[1]
+
+    def step(t, y_prev):
+        x = x_ref[0, t]
+        ax = jnp.abs(x)
+        x_g = jnp.where(ax < 1e-6, -120.0, 20.0 * jnp.log10(jnp.maximum(ax, 1e-7)))
+        # static gain curve: downward compression (ratio>1) above threshold,
+        # upward expansion (ratio<1) below threshold
+        over = x_g - threshold
+        comp = jnp.where(over >= 0.0, threshold + over * inv_ratio, x_g)
+        expd = jnp.where(over <= 0.0, threshold + over * inv_ratio, x_g)
+        y_g = jnp.where(is_comp, comp, jnp.where(is_exp, expd, x_g))
+        x_l = x_g - y_g
+        y_l = jnp.maximum(
+            a_att * y_prev + one_m_att * x_l,
+            a_rel * y_prev + one_m_rel * x_l,
+        )
+        y_ref[0, t] = x * jnp.exp(-0.11512925464970229 * y_l)  # 10^(-y_l/20)
+        return y_l
+
+    state_ref[:, :] = jax.lax.fori_loop(0, Tc, step, state_ref[:, :])
+
+
+@functools.partial(jax.jit, static_argnames=("time_chunk", "interpret"))
+def _envelope_pallas_packed(
+    x: jnp.ndarray,       # [Lb, T, 8, 128]
+    params: jnp.ndarray,  # [Lb, 4, 8, 128]
+    time_chunk: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    Lb, T = x.shape[0], x.shape[1]
+    n_chunks = T // time_chunk
+    grid = (Lb, n_chunks)
+    return pl.pallas_call(
+        _envelope_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 4, SUBLANES, LANES), lambda i, j: (i, 0, 0, 0),
+                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, time_chunk, SUBLANES, LANES), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, time_chunk, SUBLANES, LANES), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        scratch_shapes=[pltpu.VMEM((SUBLANES, LANES), jnp.float32)],
+        interpret=interpret,
+    )(params, x)
+
+
+def compressor_pallas(
+    x: jnp.ndarray,
+    threshold,
+    attack_ms,
+    release_ms,
+    ratio,
+    sample_rate: int = 44100,
+    time_chunk: int = 512,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused compressor over the last axis of ``x [..., T]``.
+
+    Parameters broadcast against the batch shape (like
+    :func:`..compressor.compressor_process` with makeup 0). Lanes are padded
+    to a multiple of 1024 and time to a multiple of ``time_chunk``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    batch_shape = x.shape[:-1]
+    T = x.shape[-1]
+    L = int(np.prod(batch_shape)) if batch_shape else 1
+    xf = x.reshape(L, T).astype(jnp.float32)
+
+    a_att = jnp.exp(-1.0 / (0.001 * sample_rate * jnp.asarray(attack_ms, jnp.float32)))
+    a_rel = jnp.exp(-1.0 / (0.001 * sample_rate * jnp.asarray(release_ms, jnp.float32)))
+    pvec = [
+        jnp.broadcast_to(jnp.asarray(p, jnp.float32), batch_shape).reshape(L)
+        for p in (threshold, ratio, a_att, a_rel)
+    ]
+
+    Lp = -(-L // BLOCK_LANES) * BLOCK_LANES
+    Tp = -(-T // time_chunk) * time_chunk
+    xp = jnp.pad(xf, ((0, Lp - L), (0, Tp - T)))
+    pp = jnp.stack([jnp.pad(p, (0, Lp - L), constant_values=1.0) for p in pvec], axis=0)
+
+    # pack lanes into (8, 128) tiles: [Lp, Tp] -> [Lb, Tp, 8, 128]
+    Lb = Lp // BLOCK_LANES
+    xpk = xp.reshape(Lb, SUBLANES, LANES, Tp).transpose(0, 3, 1, 2)
+    ppk = pp.reshape(4, Lb, SUBLANES, LANES).transpose(1, 0, 2, 3)
+
+    y = _envelope_pallas_packed(xpk, ppk, time_chunk, interpret)
+
+    yf = y.transpose(0, 2, 3, 1).reshape(Lp, Tp)[:L, :T]
+    return yf.reshape(batch_shape + (T,)).astype(x.dtype)

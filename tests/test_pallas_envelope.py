@@ -1,0 +1,44 @@
+"""Pallas envelope kernel vs the scan reference (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from music_mixing_style_transfer_tpu.ops.compressor import compressor_process
+from music_mixing_style_transfer_tpu.ops.pallas.envelope import compressor_pallas
+
+
+@pytest.mark.parametrize("ratio", [4.0, 0.25])
+def test_pallas_matches_scan(rng, ratio):
+    x = (rng.standard_normal((3, 3000)) * 0.4).astype(np.float32)
+    ref = np.asarray(
+        compressor_process(jnp.asarray(x), -20.0, 5.0, 120.0, ratio, 0.0)
+    )
+    out = np.asarray(
+        compressor_pallas(jnp.asarray(x), -20.0, 5.0, 120.0, ratio, time_chunk=512)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_per_lane_params(rng):
+    x = (rng.standard_normal((4, 2000)) * 0.4).astype(np.float32)
+    ths = np.asarray([-10.0, -20.0, -30.0, -40.0], np.float32)
+    out = np.asarray(
+        compressor_pallas(jnp.asarray(x), jnp.asarray(ths), 5.0, 120.0, 4.0, time_chunk=512)
+    )
+    for i in range(4):
+        ref = np.asarray(
+            compressor_process(jnp.asarray(x[i]), float(ths[i]), 5.0, 120.0, 4.0, 0.0)
+        )
+        np.testing.assert_allclose(out[i], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_time_chunk_carry(rng):
+    """State must carry across time chunks (multiple grid steps)."""
+    x = (rng.standard_normal(2048) * 0.4).astype(np.float32)
+    ref = np.asarray(compressor_process(jnp.asarray(x), -25.0, 2.0, 300.0, 8.0, 0.0))
+    out = np.asarray(
+        compressor_pallas(jnp.asarray(x), -25.0, 2.0, 300.0, 8.0, time_chunk=512)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
