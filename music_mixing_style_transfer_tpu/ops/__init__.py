@@ -28,3 +28,16 @@ from .loudness import (
     lufs_normalize,
     peak_normalize,
 )
+from .resample import (
+    phase_vocoder,
+    pitch_shift,
+    playback_speed,
+    sinc_resample,
+    time_stretch,
+)
+from .shapes import (
+    is_complete_convolution,
+    pad_to_length,
+    td_length_from_fd,
+    valid_length,
+)
