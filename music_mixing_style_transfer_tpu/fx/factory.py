@@ -49,6 +49,11 @@ def _make_processor(name: str, sample_rate: int, ir_bank: Optional[np.ndarray]):
         return Equaliser(sample_rate=sample_rate)
     if "comp" in name:
         return Compressor(sample_rate=sample_rate)
+    if "expand" in name:
+        # upward expander == compressor with ratio < 1 (the reference names
+        # an Expander in its factory but never defines it — a latent
+        # NameError, audio_effects_chain.py:53)
+        return Compressor(sample_rate=sample_rate, ratio_range=(1.0 / 40.0, 1.0 / 4.0))
     if "pan" in name:
         return Panner()
     if "image" in name:

@@ -59,23 +59,26 @@ class StyleTransferEngine:
         self.encoder = FXencoder(config=self.encoder_cfg)
         self.converter = MixFXcloner(config=self.converter_cfg)
 
-        key = jax.random.PRNGKey(seed)
-        k1, k2 = jax.random.split(key)
+        from ..models.fast_init import fast_init
+
         if ckpt_path_enc and os.path.exists(ckpt_path_enc):
             self.enc_vars = load_fxencoder_variables(ckpt_path_enc)
             log.info("loaded FXencoder checkpoint: %s", ckpt_path_enc)
         else:
             if ckpt_path_enc:
                 log.warning("FXencoder checkpoint %s missing - random init", ckpt_path_enc)
-            self.enc_vars = self.encoder.init(k1, jnp.zeros((1, 2, 2**14)))
+            self.enc_vars = fast_init(self.encoder, jnp.zeros((1, 2, 2**14)), seed=seed)
         if ckpt_path_conv and os.path.exists(ckpt_path_conv):
             self.conv_vars = load_mixfxcloner_variables(ckpt_path_conv)
             log.info("loaded MixFXcloner checkpoint: %s", ckpt_path_conv)
         else:
             if ckpt_path_conv:
                 log.warning("MixFXcloner checkpoint %s missing - random init", ckpt_path_conv)
-            self.conv_vars = self.converter.init(
-                k2, jnp.zeros((1, 2, 2**14)), jnp.zeros((1, self.converter_cfg.condition_dimension))
+            self.conv_vars = fast_init(
+                self.converter,
+                jnp.zeros((1, 2, 2**14)),
+                jnp.zeros((1, self.converter_cfg.condition_dimension)),
+                seed=seed + 1,
             )
         self.enc_vars = jax.tree.map(lambda a: jnp.asarray(a, dtype=self.dtype), self.enc_vars)
         self.conv_vars = jax.tree.map(lambda a: jnp.asarray(a, dtype=self.dtype), self.conv_vars)

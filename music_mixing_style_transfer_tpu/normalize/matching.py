@@ -30,7 +30,7 @@ import scipy.signal
 from ..ops.biquad import filtfilt_fir
 from ..ops.compressor import compressor_process
 from ..ops.loudness import lufs_normalize, peak_normalize
-from ..ops.stft import frame, sqrt_hann_window, stft
+from ..ops.stft import frame, istft, sqrt_hann_window, stft
 
 
 def amp_to_db(x):
@@ -88,6 +88,92 @@ def eq_match(
     spec = np.asarray(average_magnitude_spectrum(audio, n_fft, hop_length))
     taps = design_eq_fir(spec, np.asarray(ref_spec), ntaps)
     return filtfilt_fir(audio, jnp.asarray(taps))
+
+
+# ===========================================================================
+# panning matching (dataset-prep normalization)
+# ===========================================================================
+def _sps(x: jnp.ndarray, n_fft: int, hop: int):
+    """Stereo panning spectrum of ``[T, 2]`` audio (device version of
+    reference ``get_SPS``, ``utils_data_normalization.py:109-139``).
+
+    Returns (sps [F, bins], phi [F, bins])."""
+    win = sqrt_hann_window(n_fft)
+    spec = stft(x.T, n_fft, hop, win, center=False)  # [2, F, bins]
+    # (reference uses eps=1e-20 in float64; in float32 its square underflows
+    # to zero and NaNs the ratio — 1e-8 is still negligible vs audio bins)
+    eps = 1e-8
+    L = jnp.abs(spec[0]) + eps
+    R = jnp.abs(spec[1]) + eps
+    phi = 2 * (L * R) / (L**2 + R**2)
+    delta_sign = jnp.sign((L * R) / L**2 - (R * L) / R**2)
+    return (1 - phi) * delta_sign, phi
+
+
+def _panning_gains(phi: jnp.ndarray, side) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-bin L/R gains from the similarity measure (reference
+    ``get_panning_param_values`` :157-177)."""
+    g = jnp.clip(phi + 1e-30, 0, 1) / 2
+    p = jnp.where(side > 0, 1.0 - g, jnp.where(side < 0, g, 0.5))
+    return 1.0 - p, p  # g_l, g_r
+
+
+def panning_match(
+    audio: jnp.ndarray,
+    ref_phi: np.ndarray,
+    sr: int = 44100,
+    n_fft: int = 2048,
+    hop_length: int = 1024,
+    min_db_f: float = -10.0,
+    max_freq_pan: float = 16000.0,
+) -> jnp.ndarray:
+    """Match the stereo panning spectrum of ``[2, T]`` audio to a target
+    (reference ``get_panning_matching``, ``utils_data_normalization.py:179-280``):
+    pre-pan toward the dominant side, then scale L/R STFT magnitudes by the
+    per-frame gain ratio toward the target panning, gated for quiet frames
+    and frequencies above ``max_freq_pan``."""
+    import scipy.signal as ss
+
+    T = audio.shape[-1]
+    x = jnp.pad(audio, ((0, 0), (n_fft, n_fft)))
+
+    sps_mean, _ = _sps(np.asarray(x).T, n_fft, hop_length)
+    sps_sm = ss.savgol_filter(np.asarray(jnp.mean(sps_mean, axis=0)), 501, 1, mode="mirror")
+    f1 = int(np.floor(50 * n_fft / sr))
+    f2 = int(np.floor(2500 * n_fft / sr))
+    m = np.mean(np.sign(sps_sm[f1:f2] + 1e-10))
+    side = m / abs(m) if m != 0 else 0.0
+
+    alpha = 0.7 if side > 0 else 0.3
+    gains = jnp.asarray([1.0 - alpha, alpha], jnp.float32)  # linear pan law
+    x = x * gains[:, None]
+
+    _, phi_frames = _sps(x.T, n_fft, hop_length)  # [F, bins]
+    gl_i, gr_i = _panning_gains(phi_frames, side)
+    gl_r, gr_r = _panning_gains(jnp.asarray(ref_phi)[None, :], side)
+    eps = 1e-20
+    g_l = gl_r / (gl_i + eps)
+    g_r = gr_r / (gr_i + eps)
+
+    win = sqrt_hann_window(n_fft)
+    spec = stft(x, n_fft, hop_length, win, center=False)  # [2, F, bins]
+    mono_mag = jnp.abs(spec[0] + spec[1])
+    quiet = 20 * jnp.log10(jnp.max(mono_mag, axis=-1, keepdims=True) + 1e-30) < min_db_f
+    g_l = jnp.where(quiet, 1.0, g_l)
+    g_r = jnp.where(quiet, 1.0, g_r)
+    fmax_bin = int(np.floor(max_freq_pan * n_fft / sr))
+    band = (jnp.arange(g_l.shape[-1]) < fmax_bin)[None, :]
+    g_l = jnp.where(band, g_l, 1.0)
+    g_r = jnp.where(band, g_r, 1.0)
+
+    new_spec = jnp.stack(
+        [
+            jnp.abs(spec[0]) * g_l * jnp.exp(1j * jnp.angle(spec[0])),
+            jnp.abs(spec[1]) * g_r * jnp.exp(1j * jnp.angle(spec[1])),
+        ]
+    )
+    y = istft(new_spec, hop_length, win, center=False)
+    return y[:, n_fft : n_fft + T]
 
 
 # ===========================================================================

@@ -129,6 +129,14 @@ class AudioEffectsNormalizer:
                 mono_threshold=mono_threshold,
                 sr=cfg.sample_rate,
             )
+        elif effect == "panning":
+            # dataset-prep panning normalization (the inference feature file
+            # carries no panning targets; requires features['panning'][src])
+            from .matching import panning_match
+
+            y = panning_match(
+                xj, np.asarray(self.features["panning"][src]), sr=cfg.sample_rate
+            )
         else:
             raise ValueError(f"unknown effect: {effect}")
 

@@ -139,3 +139,23 @@ def test_silent_input_skipped(normalizer):
     x = np.zeros((2, SR), np.float32)
     y = normalizer.normalize_audio(x, "bass")
     np.testing.assert_allclose(y, x)
+
+
+def test_panning_match_moves_toward_target(rng):
+    """panning_match should steer the SPS-derived panning toward the target."""
+    import jax.numpy as jnp
+    from music_mixing_style_transfer_tpu.normalize.matching import panning_match, _sps
+
+    T = SR
+    noise = (rng.standard_normal(T) * 0.2).astype(np.float32)
+    panned = np.stack([noise * 1.5, noise * 0.5 + 0.02 * rng.standard_normal(T).astype(np.float32)])
+    ref_phi = np.full(1025, 0.98, np.float32)  # near-centered target
+    y = np.asarray(panning_match(jnp.asarray(panned), ref_phi))
+    assert y.shape == panned.shape
+    assert np.isfinite(y).all()
+
+    def lr_ratio(a):
+        return np.sum(a[0] ** 2) / (np.sum(a[1] ** 2) + 1e-12)
+
+    # output left/right balance should be closer to 1 than the input's
+    assert abs(np.log(lr_ratio(y))) < abs(np.log(lr_ratio(panned)))

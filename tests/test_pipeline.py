@@ -118,3 +118,53 @@ def test_full_directory_pipeline(engine, tmp_path, rng):
     assert mix.shape[0] == 12_000
     for inst in cfg.instruments:
         assert os.path.exists(str(target / "song1" / f"{inst}_output_notnormed.wav"))
+
+
+def test_load_config_yaml():
+    import os
+    from music_mixing_style_transfer_tpu.config import load_config
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "music_mixing_style_transfer_tpu",
+        "configs.yaml",
+    )
+    cfg = load_config(path)
+    assert cfg.encoder.channels[-1] == 2048
+    assert cfg.converter.nblocks == 14
+    assert cfg.inference.segment_length == 2**19
+    cfg2 = load_config(path, overrides={"converter": {"nblocks": 4}})
+    assert cfg2.converter.nblocks == 4
+
+
+def test_interpolation_directory_pipeline(engine, tmp_path, rng):
+    cfg = InferenceConfig(
+        segment_length=8192,
+        segment_length_ref=8192,
+        normalize_input=False,
+        do_not_separate=True,
+        interpolation=True,
+        interpolate_segments=4,
+    )
+    target = tmp_path / "songs"
+    for name in ["input", "reference", "reference_B"]:
+        for inst in cfg.instruments:
+            x = (rng.standard_normal((20_000, 2)) * 0.2).astype(np.float32)
+            write_wav(str(target / "s" / "separated" / name / f"{inst}.wav"), x, SR)
+    pipeline = MixingStyleTransfer(engine, cfg)
+    written = pipeline.run_directory(str(target) + "/")
+    assert len(written) == 1
+    assert "interpolation" in written[0]
+    mix, _ = read_wav(written[0])
+    assert mix.shape[0] == 20_000
+
+
+def test_expander_factory(rng):
+    import jax
+    import jax.numpy as jnp
+    from music_mixing_style_transfer_tpu.fx.factory import create_effects_augmentation_chain
+
+    chain = create_effects_augmentation_chain([("expander", 1.0)])
+    x = jnp.asarray((rng.standard_normal((1, 2, 4096)) * 0.3).astype(np.float32))
+    y = np.asarray(chain(jax.random.PRNGKey(0), x))
+    assert np.isfinite(y).all()
