@@ -306,11 +306,45 @@ def _comp_grid(ratio: float, min_th: float, max_ratio: float, expander: bool):
     return R.reshape(-1).astype(np.float32), T.reshape(-1).astype(np.float32)
 
 
+def _grid_compress(x, ratios, ths, attack, release, sample_rate, mode):
+    """Compress x against a chunk of (ratio, threshold) candidates."""
+    G = ratios.shape[0]
+    xg = jnp.broadcast_to(x[None, :], (G, x.shape[-1]))
+    rr = ratios if mode == "down" else 1.0 / ratios
+    if jax.default_backend() == "tpu":
+        # fused Pallas envelope kernel: the grid is exactly the wide-lane
+        # shape the kernel wants (ops/pallas/envelope.py)
+        from ..ops.pallas.envelope import compressor_pallas
+
+        y = compressor_pallas(xg, ths, attack, release, rr, sample_rate=sample_rate)
+    else:
+        y = compressor_process(
+            xg, ths[:, None], attack, release, rr[:, None], 0.0, sample_rate=sample_rate
+        )
+    return jnp.where(
+        jnp.max(jnp.abs(y), axis=-1, keepdims=True) >= 1.0, jnp.clip(y, -1, 1), y
+    )
+
+
 @partial(jax.jit, static_argnames=("sample_rate", "percentile", "mode"))
+def _grid_peaks(x, ratios, ths, attack, release, sample_rate, percentile, mode):
+    y = _grid_compress(x, ratios, ths, attack, release, sample_rate, mode)
+    peaks, _ = measure_mean_peak(y, percentile=percentile)
+    return peaks
+
+
+@partial(jax.jit, static_argnames=("sample_rate", "mode"))
+def _grid_one(x, ratio, th, attack, release, sample_rate, mode):
+    return _grid_compress(
+        x, jnp.reshape(ratio, (1,)), jnp.reshape(th, (1,)), attack, release,
+        sample_rate, mode,
+    )[0]
+
+
 def _comp_match_select(
     x: jnp.ndarray,
-    ratios: jnp.ndarray,
-    ths: jnp.ndarray,
+    ratios: np.ndarray,
+    ths: np.ndarray,
     attack: float,
     release: float,
     ref_peak: float,
@@ -318,31 +352,35 @@ def _comp_match_select(
     sample_rate: int,
     percentile: float,
     mode: str,
+    chunk: int = 96,
 ) -> jnp.ndarray:
-    """Run the whole candidate grid as one batched compressor, measure the
-    onset-peak feature per candidate, and pick the first candidate (reference
-    scan order) whose peak crosses the target band."""
-    G = ratios.shape[0]
-    xg = jnp.broadcast_to(x[None, :], (G, x.shape[-1]))
-    rr = ratios[:, None] if mode == "down" else (1.0 / ratios)[:, None]
-    if jax.default_backend() == "tpu":
-        # fused Pallas envelope kernel: the grid is exactly the wide-lane
-        # shape the kernel wants (ops/pallas/envelope.py)
-        from ..ops.pallas.envelope import compressor_pallas
-
-        y = compressor_pallas(
-            xg, ths, attack, release, rr[:, 0], sample_rate=sample_rate
-        )
-    else:
-        y = compressor_process(
-            xg, ths[:, None], attack, release, rr, 0.0, sample_rate=sample_rate
-        )
-    y = jnp.where(jnp.max(jnp.abs(y), axis=-1, keepdims=True) >= 1.0, jnp.clip(y, -1, 1), y)
-    peaks, _ = measure_mean_peak(y, percentile=percentile)
-    ok = peaks < (ref_peak + ref_std) if mode == "down" else peaks > (ref_peak - ref_std)
-    first = jnp.argmax(ok)  # first True in grid order; 0 if none
-    idx = jnp.where(jnp.any(ok), first, G - 1)  # reference falls through to last
-    return y[idx]
+    """Sweep the candidate grid in fixed-size chunks (bounded HBM: the full
+    ~1000-candidate grid at song length would need several GB), early-exit at
+    the first chunk containing a satisfying candidate (reference scan order,
+    ``utils_data_normalization.py:386-424``), then recompute only the chosen
+    candidate's output."""
+    G = len(ratios)
+    chosen = G - 1  # reference falls through to the last candidate
+    for lo in range(0, G, chunk):
+        r = np.full(chunk, ratios[-1], np.float32)
+        t = np.full(chunk, ths[-1], np.float32)
+        n = min(chunk, G - lo)
+        r[:n] = ratios[lo : lo + n]
+        t[:n] = ths[lo : lo + n]
+        peaks = np.asarray(
+            _grid_peaks(
+                x, jnp.asarray(r), jnp.asarray(t), attack, release,
+                sample_rate, percentile, mode,
+            )
+        )[:n]
+        ok = peaks < (ref_peak + ref_std) if mode == "down" else peaks > (ref_peak - ref_std)
+        if ok.any():
+            chosen = lo + int(np.argmax(ok))
+            break
+    return _grid_one(
+        x, jnp.asarray(ratios[chosen]), jnp.asarray(ths[chosen]),
+        attack, release, sample_rate, mode,
+    )
 
 
 def comp_match(
@@ -380,13 +418,13 @@ def comp_match(
     if peak > ref_peak - ref_std:  # too dynamic -> downward compression
         R, T = _comp_grid(ratio, min_th, max_ratio, expander=False)
         return _comp_match_select(
-            x, jnp.asarray(R), jnp.asarray(T), attack_ms, release_ms,
+            x, R, T, attack_ms, release_ms,
             ref_peak, ref_std, sr, percentile, "down",
         )
     if expander:  # too flat -> upward expansion
         R, T = _comp_grid(ratio, min_th, max_ratio, expander=True)
         return _comp_match_select(
-            x, jnp.asarray(R), jnp.asarray(T), attack_ms, release_ms,
+            x, R, T, attack_ms, release_ms,
             ref_peak, ref_std, sr, percentile, "up",
         )
     return x
