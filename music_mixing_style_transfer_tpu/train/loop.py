@@ -14,6 +14,7 @@ this module provides the complete TPU training stack around them:
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import time
 from typing import Callable, Dict, Optional, Sequence
@@ -32,6 +33,14 @@ from .contrastive import init_contrastive, make_contrastive_train_step, make_sha
 from .converter import init_converter, make_converter_train_step, make_sharded_converter_step
 
 log = get_logger("train")
+
+
+def _log_metrics(out_dir: str, record: Dict) -> None:
+    """Append one JSON line per epoch to <out_dir>/metrics.jsonl
+    (observability the reference lacks entirely, SURVEY.md §5.5)."""
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "metrics.jsonl"), "a") as f:
+        f.write(json.dumps(record) + "\n")
 
 
 def schedule_probs(
@@ -110,6 +119,17 @@ def train_fxencoder(
             float(np.mean(losses)),
             timer.summary(),
         )
+        _log_metrics(
+            out_dir,
+            {
+                "model": "fxencoder",
+                "epoch": epoch,
+                "loss": float(np.mean(losses)),
+                "probs": {k: round(v, 4) for k, v in probs.items()},
+                "wall": {k: round(v, 2) for k, v in timer.totals.items()},
+                "time": time.time(),
+            },
+        )
         mgr.save(epoch + 1, state)
 
     return state
@@ -173,6 +193,16 @@ def train_converter(
                 )
                 losses.append(float(loss))
         log.info("epoch %d  loss=%.4f  (%s)", epoch, float(np.mean(losses)), timer.summary())
+        _log_metrics(
+            out_dir,
+            {
+                "model": "converter",
+                "epoch": epoch,
+                "loss": float(np.mean(losses)),
+                "wall": {k: round(v, 2) for k, v in timer.totals.items()},
+                "time": time.time(),
+            },
+        )
         mgr.save(epoch + 1, state)
 
     return state

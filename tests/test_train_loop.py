@@ -108,3 +108,43 @@ def test_train_converter_loop(musdb_dir, tmp_path):
         use_mesh=False,
     )
     assert int(state.step) == 2
+
+
+def test_convert_ckpt_cli(tmp_path, rng):
+    """Torch -> orbax conversion CLI roundtrip on a small oracle checkpoint."""
+    import sys
+    import torch
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from torch_oracles import OracleTCN
+
+    oracle = OracleTCN(nblocks=2, k=3, width=8, cond_dim=16, stack=15)
+    sd = {}
+    for n, blk in enumerate(oracle.blocks):
+        sd[f"module.blocks.{n}.conv1.weight"] = blk.conv1.weight
+        sd[f"module.blocks.{n}.bn.weight"] = blk.bn.weight
+        sd[f"module.blocks.{n}.bn.bias"] = blk.bn.bias
+        sd[f"module.blocks.{n}.bn.running_mean"] = blk.bn.running_mean
+        sd[f"module.blocks.{n}.bn.running_var"] = blk.bn.running_var
+        sd[f"module.blocks.{n}.film.film_fc.weight"] = blk.film.fc.weight
+        sd[f"module.blocks.{n}.film.film_fc.bias"] = blk.film.fc.bias
+        sd[f"module.blocks.{n}.res.weight"] = blk.res.weight
+    sd["module.output.weight"] = oracle.output.weight
+    sd["module.output.bias"] = oracle.output.bias
+    pt = str(tmp_path / "MixFXcloner_small.pt")
+    torch.save({"model": sd}, pt)
+
+    # monkeypatch the expected block count via a custom conversion
+    from music_mixing_style_transfer_tpu.models.torch_import import mixfxcloner_from_torch
+    from music_mixing_style_transfer_tpu.models.convert_ckpt import load_orbax_variables
+    import orbax.checkpoint as ocp
+
+    variables = mixfxcloner_from_torch(torch.load(pt, weights_only=False)["model"], n_blocks=2)
+    out = str(tmp_path / "converted")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(out, "variables"), variables, force=True)
+    ckptr.wait_until_finished()
+    restored = load_orbax_variables(out)
+    a = jax.tree.leaves(variables)[0]
+    b = jax.tree.leaves(restored)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
