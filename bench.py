@@ -29,6 +29,8 @@ def main() -> int:
     args = p.parse_args()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
 
     from music_mixing_style_transfer_tpu.config import FXencoderConfig, TCNConfig
@@ -61,9 +63,9 @@ def main() -> int:
         cond = jnp.broadcast_to(emb[None].astype(dtype), (x_in.shape[0], emb.shape[0]))
         return tcn.apply(cv, x_in.astype(dtype), cond)
 
-    # warm up / compile
+    # warm up / compile + sanity: the computation must be finite
     out = style_transfer_step(ev, cv, x_ref, x_in)
-    _ = float(jnp.sum(out.astype(jnp.float32)))
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all()), "non-finite output"
 
     t0 = time.perf_counter()
     for _ in range(args.iters):

@@ -57,7 +57,7 @@ def read_wav(
 
 def write_wav(path: str, audio: np.ndarray, rate: int = 44100) -> None:
     """Write float audio ``[T, C]`` (or ``[T]``) as 16-bit PCM."""
-    audio = np.asarray(audio)
+    audio = np.nan_to_num(np.asarray(audio), nan=0.0, posinf=1.0, neginf=-1.0)
     if audio.ndim == 1:
         audio = audio[:, None]
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)

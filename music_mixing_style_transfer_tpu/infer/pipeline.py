@@ -108,9 +108,17 @@ class StyleTransferEngine:
                 conv_vars, x, embeddings.astype(self.dtype)
             ).astype(jnp.float32)
 
+        @jax.jit
+        def _encode_group_mean(enc_vars, segments, group_onehot):
+            """[N, 2, L] + group one-hot [G, N] -> per-group mean embeddings [G, D]."""
+            emb = self.encoder.apply(enc_vars, segments.astype(self.dtype)).astype(jnp.float32)
+            w = group_onehot.astype(jnp.float32)
+            return (w @ emb) / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+
         self._encode_mean = _encode_mean
         self._convert = _convert
         self._convert_multi = _convert_multi
+        self._encode_group_mean = _encode_group_mean
 
     # ------------------------------------------------------------------
     def embed_song(self, audio: np.ndarray, segment_length: int) -> np.ndarray:
@@ -184,21 +192,35 @@ class MixingStyleTransfer:
     ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
         """Convert input stems toward the reference's mixing style.
 
+        The non-interpolation path batches ALL stems' segments into single
+        encoder/converter dispatches (per-stem embeddings via a grouped
+        masked mean) — 4x fewer device round trips than the reference's
+        per-stem loop (``style_transfer.py:123-174``).
+
         Returns ``(mixture [2, T], per-stem outputs)``.
         """
+        import time as _time
+
         cfg = self.cfg
+        if self.normalizer is not None and cfg.normalize_input:
+            t0 = _time.perf_counter()
+            input_stems = {
+                inst: np.clip(self.normalizer.normalize_audio(x, src=inst), -1.0, 1.0)
+                for inst, x in input_stems.items()
+            }
+            log.info("fx-normalization: %.1fs", _time.perf_counter() - t0)
+        if reference_stems_b is None:
+            t0 = _time.perf_counter()
+            out = self._transfer_batched(input_stems, reference_stems)
+            log.info("embed+convert: %.1fs", _time.perf_counter() - t0)
+            return out
+
         outputs: Dict[str, np.ndarray] = {}
         mixture = None
         for inst in cfg.instruments:
             x = input_stems[inst]
             r = reference_stems[inst]
-            if self.normalizer is not None and cfg.normalize_input:
-                x = np.clip(self.normalizer.normalize_audio(x, src=inst), -1.0, 1.0)
-
-            if reference_stems_b is None:
-                emb = self.engine.embed_song(r, cfg.segment_length_ref)
-                y = self.engine.convert_song(x, emb, cfg.segment_length)
-            else:
+            if True:
                 emb_a = self.engine.embed_song(r, cfg.segment_length_ref)
                 emb_b = self.engine.embed_song(
                     reference_stems_b[inst], cfg.segment_length_ref
@@ -206,6 +228,69 @@ class MixingStyleTransfer:
                 y = self.engine.convert_song_interpolated(
                     x, emb_a, emb_b, cfg.interpolate_segments
                 )
+            outputs[inst] = y
+            mixture = y if mixture is None else mixture + y
+        return mixture, outputs
+
+    # ------------------------------------------------------------------
+    def _transfer_batched(
+        self,
+        input_stems: Dict[str, np.ndarray],
+        reference_stems: Dict[str, np.ndarray],
+    ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+        cfg = self.cfg
+        insts = list(cfg.instruments)
+
+        # --- reference: one encoder dispatch over all stems' segments ---
+        ref_segs, ref_groups = [], []
+        for gi, inst in enumerate(insts):
+            r = reference_stems[inst]
+            if r.shape[-1] < cfg.segment_length_ref:
+                r = np.pad(r, ((0, 0), (0, cfg.segment_length_ref - r.shape[-1])))
+            segs, _ = segment_song(r, cfg.segment_length_ref)
+            ref_segs.append(segs)
+            ref_groups.extend([gi] * segs.shape[0])
+        ref_all = np.concatenate(ref_segs, axis=0)
+        ref_all, n_valid = pad_to_batches(ref_all, _bucket(ref_all.shape[0]))
+        onehot = np.zeros((len(insts), ref_all.shape[0]), np.float32)
+        for j, g in enumerate(ref_groups):
+            onehot[g, j] = 1.0
+        embs = np.asarray(
+            self.engine._encode_group_mean(
+                self.engine.enc_vars, jnp.asarray(ref_all), jnp.asarray(onehot)
+            )
+        )  # [n_inst, D]
+
+        # --- input: one converter dispatch over all stems' segments ---
+        in_segs, in_lens, in_counts = [], [], []
+        for inst in insts:
+            x = input_stems[inst]
+            in_lens.append(x.shape[-1])
+            if x.shape[-1] < cfg.segment_length:
+                x = np.pad(x, ((0, 0), (0, cfg.segment_length - x.shape[-1])))
+            segs, _ = segment_song(x, cfg.segment_length)
+            in_segs.append(segs)
+            in_counts.append(segs.shape[0])
+        in_all = np.concatenate(in_segs, axis=0)
+        n_in = in_all.shape[0]
+        in_all, _ = pad_to_batches(in_all, _bucket(n_in))
+        cond = np.zeros((in_all.shape[0], embs.shape[1]), np.float32)
+        ofs = 0
+        for gi, cnt in enumerate(in_counts):
+            cond[ofs : ofs + cnt] = embs[gi]
+            ofs += cnt
+        out = np.asarray(
+            self.engine._convert_multi(
+                self.engine.conv_vars, jnp.asarray(in_all), jnp.asarray(cond)
+            )
+        )
+
+        outputs: Dict[str, np.ndarray] = {}
+        mixture = None
+        ofs = 0
+        for inst, cnt, T in zip(insts, in_counts, in_lens):
+            y = reassemble_song(out[ofs : ofs + cnt], T)
+            ofs += cnt
             outputs[inst] = y
             mixture = y if mixture is None else mixture + y
         return mixture, outputs

@@ -89,6 +89,9 @@ def save_run_config(args, output_dir: str) -> None:
 
 
 def main(argv=None) -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     args = build_parser().parse_args(argv)
 
     cfg = InferenceConfig(

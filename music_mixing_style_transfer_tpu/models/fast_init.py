@@ -34,6 +34,11 @@ def _fill(rng: np.random.Generator, path: str, shape) -> np.ndarray:
     return rng.uniform(-0.05, 0.05, shape).astype(np.float32)
 
 
+def _key_name(entry) -> str:
+    """Extract the plain dict key from a tree path entry."""
+    return getattr(entry, "key", None) or getattr(entry, "name", None) or str(entry)
+
+
 def fast_init(module, *example_args, seed: int = 0) -> Dict[str, Any]:
     """Initialize a flax module's variables without compiling an init program."""
     shapes = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *example_args))
@@ -41,6 +46,6 @@ def fast_init(module, *example_args, seed: int = 0) -> Dict[str, Any]:
     flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
     leaves = []
     for path, leaf in flat:
-        name = "/".join(str(p) for p in path)
+        name = "/".join(_key_name(p) for p in path)
         leaves.append(jnp.asarray(_fill(rng, name, leaf.shape)))
     return jax.tree_util.tree_unflatten(treedef, leaves)

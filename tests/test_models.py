@@ -147,3 +147,18 @@ def test_torch_import_roundtrip(rng):
         ref2 = enc_oracle(torch.from_numpy(xe)).numpy()
     out2 = np.asarray(enc.apply(variables2, jnp.asarray(xe)))
     np.testing.assert_allclose(out2, ref2, rtol=1e-5, atol=1e-6)
+
+
+def test_fast_init_is_stable(rng):
+    """fast_init must produce finite activations (BN var strictly positive)."""
+    import jax.numpy as jnp
+    from music_mixing_style_transfer_tpu.models.fast_init import fast_init
+
+    enc = FXencoder(config=SMALL_ENC)
+    v = fast_init(enc, jnp.zeros((1, 2, 4096)))
+    # BN running vars all ones
+    for leaf_path, leaf in jax.tree_util.tree_flatten_with_path(v["batch_stats"])[0]:
+        assert (np.asarray(leaf) >= 0).all()
+    x = jnp.asarray((rng.standard_normal((2, 2, 4096)) * 0.3).astype(np.float32))
+    out = np.asarray(enc.apply(v, x))
+    assert np.isfinite(out).all()
