@@ -310,9 +310,15 @@ class Equaliser:
 
     def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
         cs, ps = self.coeffs(params)
-        y = x
-        for i in range(len(self.bands)):
-            y = biquad_apply(y, cs[i], poles=ps[i])
+        if x.shape[-1] >= 32768:
+            # long audio: whole cascade as one spectral multiply
+            from ..ops.biquad import biquad_cascade_fft
+
+            y = biquad_cascade_fft(x, cs)
+        else:
+            y = x
+            for i in range(len(self.bands)):
+                y = biquad_apply(y, cs[i], poles=ps[i])
         if self.hard_clip:
             y = jnp.clip(y, -1.0, 1.0)
         return y

@@ -204,10 +204,16 @@ class MixingStyleTransfer:
         cfg = self.cfg
         if self.normalizer is not None and cfg.normalize_input:
             t0 = _time.perf_counter()
-            input_stems = {
-                inst: np.clip(self.normalizer.normalize_audio(x, src=inst), -1.0, 1.0)
-                for inst, x in input_stems.items()
-            }
+            if hasattr(self.normalizer, "normalize_stems"):
+                normalized = self.normalizer.normalize_stems(
+                    {i: input_stems[i] for i in cfg.instruments}
+                )
+            else:
+                normalized = {
+                    inst: self.normalizer.normalize_audio(x, src=inst)
+                    for inst, x in input_stems.items()
+                }
+            input_stems = {i: np.clip(v, -1.0, 1.0) for i, v in normalized.items()}
             log.info("fx-normalization: %.1fs", _time.perf_counter() - t0)
         if reference_stems_b is None:
             t0 = _time.perf_counter()

@@ -42,6 +42,15 @@ class AudioEffectsNormalizer:
         )
 
     # ------------------------------------------------------------------
+    def normalize_stems(self, stems) -> dict:
+        """Batched multi-stem normalization: every stage runs ONCE for all
+        stems' channels on device (see :mod:`.batch`). Same stage math as
+        :meth:`normalize_audio`."""
+        from .batch import BatchedAudioEffectsNormalizer
+
+        return BatchedAudioEffectsNormalizer(self.features, self.cfg).normalize_stems(stems)
+
+    # ------------------------------------------------------------------
     def normalize_audio(self, audio: np.ndarray, src: str) -> np.ndarray:
         """Apply the configured chain of per-effect normalizations.
 

@@ -34,8 +34,16 @@ def k_weighting_coeffs(rate: float):
 
 
 def k_weight(x: jnp.ndarray, rate: float) -> jnp.ndarray:
-    """Apply the two-stage K pre-filter over the last axis."""
+    """Apply the two-stage K pre-filter over the last axis.
+
+    Long signals use the spectral cascade evaluation (one FFT round trip;
+    the recurrence form's O(T log T) associative scan is slow to compile and
+    run at song lengths); short signals use the scan (exact transients)."""
     (sc, sp), (hc, hp) = k_weighting_coeffs(rate)
+    if x.shape[-1] >= 65536:
+        from .biquad import biquad_cascade_fft
+
+        return biquad_cascade_fft(x, jnp.stack([sc, hc]))
     return biquad_apply(biquad_apply(x, sc, poles=sp), hc, poles=hp)
 
 

@@ -159,3 +159,19 @@ def test_panning_match_moves_toward_target(rng):
 
     # output left/right balance should be closer to 1 than the input's
     assert abs(np.log(lr_ratio(y))) < abs(np.log(lr_ratio(panned)))
+
+
+def test_batched_normalizer_matches_per_stem(normalizer, rng):
+    """Batched multi-stem path == sequential per-stem path (same stage math)."""
+    stems = {
+        "drums": _music_like(rng, seconds=1.5),
+        "vocals": _music_like(rng, seconds=1.5) * 0.5,
+    }
+    # per-stem reference path
+    seq = {i: normalizer.normalize_audio(v, src=i) for i, v in stems.items()}
+    # batched path
+    bat = normalizer.normalize_stems(stems)
+    for i in stems:
+        ref_rms = np.sqrt(np.mean(seq[i] ** 2))
+        err = np.sqrt(np.mean((seq[i] - bat[i]) ** 2))
+        assert err / (ref_rms + 1e-12) < 0.05, f"{i}: nrmse {err/ref_rms}"

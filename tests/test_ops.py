@@ -270,3 +270,31 @@ def test_lufs_normalize_hits_target(rng):
     y = np.asarray(lufs_normalize(jnp.asarray(x), rate, -25.0))
     out = float(integrated_loudness(jnp.asarray(y), rate))
     assert abs(out - (-25.0)) < 0.1
+
+
+def test_biquad_fft_paths_match_lfilter(rng):
+    """Spectral-cascade and truncated-IR paths == scipy lfilter on long audio."""
+    from music_mixing_style_transfer_tpu.ops.biquad import (
+        biquad_apply_fft,
+        biquad_cascade_fft,
+    )
+
+    cs = np.stack(
+        [
+            np.asarray(rbj_coeffs("high_shelf", 4.0, 0.7071, 1500.0, 44100.0)),
+            np.asarray(rbj_coeffs("high_pass", 0.0, 0.5, 38.0, 44100.0)),
+        ]
+    )
+    x = (rng.standard_normal(100_000) * 0.3).astype(np.float32)
+    ref = x.astype(np.float64)
+    for c in cs:
+        ref = scipy.signal.lfilter(c[:3], [1.0, c[3], c[4]], ref)
+
+    y_fft = np.asarray(biquad_cascade_fft(jnp.asarray(x), jnp.asarray(cs)))
+    nrmse = np.sqrt(np.mean((y_fft - ref) ** 2)) / np.sqrt(np.mean(ref**2))
+    assert nrmse < 2e-3
+
+    y_ir = np.asarray(biquad_apply_fft(jnp.asarray(x), jnp.asarray(cs[1])))
+    ref1 = scipy.signal.lfilter(cs[1][:3], [1.0, cs[1][3], cs[1][4]], x)
+    nrmse1 = np.sqrt(np.mean((y_ir - ref1) ** 2)) / np.sqrt(np.mean(ref1**2))
+    assert nrmse1 < 2e-3
