@@ -116,6 +116,9 @@ class InferenceConfig:
     reference_file_name_2interpolate: str = "reference_B"
     # compute dtype for the network forward passes ("float32" or "bfloat16")
     dtype: str = "float32"
+    # context halo per segment (samples) to suppress boundary artifacts;
+    # 0 = reference behaviour (independent zero-context segments)
+    segment_halo: int = 0
 
 
 @dataclass(frozen=True)

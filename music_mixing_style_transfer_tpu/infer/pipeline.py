@@ -134,17 +134,45 @@ class StyleTransferEngine:
 
     # ------------------------------------------------------------------
     def convert_song(
-        self, audio: np.ndarray, embedding: np.ndarray, segment_length: int
+        self,
+        audio: np.ndarray,
+        embedding: np.ndarray,
+        segment_length: int,
+        halo: int = 0,
     ) -> np.ndarray:
-        """Convert a whole ``[2, T]`` song conditioned on one embedding."""
+        """Convert a whole ``[2, T]`` song conditioned on one embedding.
+
+        ``halo > 0`` gives every segment that many samples of real context on
+        each side and trims it from the converted output — removing the
+        segment-boundary artifacts the reference accepts (its non-causal
+        5.2 s receptive field sees zeros across each cut,
+        ``style_transfer.py:274-301``). Costs ``2*halo/segment_length`` extra
+        compute.
+        """
         T = audio.shape[-1]
-        if T < segment_length:
-            audio = np.pad(audio, ((0, 0), (0, segment_length - T)))
-        segments, _ = segment_song(audio, segment_length)
-        n_valid = segments.shape[0]
-        segments, _ = pad_to_batches(segments, _bucket(n_valid))
-        out = self._convert(self.conv_vars, jnp.asarray(segments), jnp.asarray(embedding))
-        return reassemble_song(np.asarray(out)[:n_valid], T)
+        if halo <= 0:
+            if T < segment_length:
+                audio = np.pad(audio, ((0, 0), (0, segment_length - T)))
+            segments, _ = segment_song(audio, segment_length)
+            n_valid = segments.shape[0]
+            segments, _ = pad_to_batches(segments, _bucket(n_valid))
+            out = self._convert(self.conv_vars, jnp.asarray(segments), jnp.asarray(embedding))
+            return reassemble_song(np.asarray(out)[:n_valid], T)
+
+        n_seg = max(-(-T // segment_length), 1)
+        padded = np.pad(
+            audio, ((0, 0), (halo, halo + n_seg * segment_length - T))
+        )
+        starts = np.arange(n_seg) * segment_length
+        segs = np.stack(
+            [padded[:, s : s + segment_length + 2 * halo] for s in starts]
+        )
+        n_valid = segs.shape[0]
+        segs, _ = pad_to_batches(segs, _bucket(n_valid))
+        out = np.asarray(
+            self._convert(self.conv_vars, jnp.asarray(segs), jnp.asarray(embedding))
+        )[:n_valid, :, halo : halo + segment_length]
+        return reassemble_song(out, T)
 
     # ------------------------------------------------------------------
     def convert_song_interpolated(
@@ -268,13 +296,27 @@ class MixingStyleTransfer:
         )  # [n_inst, D]
 
         # --- input: one converter dispatch over all stems' segments ---
+        halo = int(getattr(cfg, "segment_halo", 0) or 0)
         in_segs, in_lens, in_counts = [], [], []
         for inst in insts:
             x = input_stems[inst]
             in_lens.append(x.shape[-1])
-            if x.shape[-1] < cfg.segment_length:
-                x = np.pad(x, ((0, 0), (0, cfg.segment_length - x.shape[-1])))
-            segs, _ = segment_song(x, cfg.segment_length)
+            if halo > 0:
+                n_seg = max(-(-x.shape[-1] // cfg.segment_length), 1)
+                padded = np.pad(
+                    x, ((0, 0), (halo, halo + n_seg * cfg.segment_length - x.shape[-1]))
+                )
+                segs = np.stack(
+                    [
+                        padded[:, s : s + cfg.segment_length + 2 * halo]
+                        for s in np.arange(n_seg) * cfg.segment_length
+                    ]
+                )
+            else:
+                xp = x
+                if xp.shape[-1] < cfg.segment_length:
+                    xp = np.pad(xp, ((0, 0), (0, cfg.segment_length - xp.shape[-1])))
+                segs, _ = segment_song(xp, cfg.segment_length)
             in_segs.append(segs)
             in_counts.append(segs.shape[0])
         in_all = np.concatenate(in_segs, axis=0)
@@ -295,7 +337,10 @@ class MixingStyleTransfer:
         mixture = None
         ofs = 0
         for inst, cnt, T in zip(insts, in_counts, in_lens):
-            y = reassemble_song(out[ofs : ofs + cnt], T)
+            seg_out = out[ofs : ofs + cnt]
+            if halo > 0:
+                seg_out = seg_out[:, :, halo : halo + cfg.segment_length]
+            y = reassemble_song(seg_out, T)
             ofs += cnt
             outputs[inst] = y
             mixture = y if mixture is None else mixture + y

@@ -69,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     i.add_argument("--interpolation", type=str2bool, default=False)
     i.add_argument("--interpolate_segments", type=int, default=30)
+    i.add_argument("--segment_halo", type=int, default=0,
+                   help="context samples per segment edge (0 = reference behaviour)")
 
     dev = p.add_argument_group("Device args")
     dev.add_argument("--batch_size", type=int, default=1)
@@ -111,6 +113,7 @@ def main(argv=None) -> int:
         reference_file_name=args.reference_file_name,
         reference_file_name_2interpolate=args.reference_file_name_2interpolate,
         dtype=args.dtype,
+        segment_halo=args.segment_halo,
     )
 
     output_dir = args.output_dir or args.target_dir
@@ -149,6 +152,7 @@ def main(argv=None) -> int:
         ckpt_path_enc=args.ckpt_path_enc,
         ckpt_path_conv=args.ckpt_path_conv,
         dtype=args.dtype,
+        segment_halo=args.segment_halo,
     )
     pipeline = MixingStyleTransfer(engine, cfg, normalizer=normalizer)
     written = pipeline.run_directory(args.target_dir, args.output_dir)

@@ -168,3 +168,43 @@ def test_expander_factory(rng):
     x = jnp.asarray((rng.standard_normal((1, 2, 4096)) * 0.3).astype(np.float32))
     y = np.asarray(chain(jax.random.PRNGKey(0), x))
     assert np.isfinite(y).all()
+
+
+def test_convert_song_halo_removes_boundary_seams(engine, rng):
+    """With halo context, segment boundaries must match the unsegmented
+    forward; without halo they generally don't (zero context across cuts)."""
+    seg = 8192
+    audio = (rng.standard_normal((2, 3 * seg)) * 0.2).astype(np.float32)
+    emb = rng.standard_normal(SMALL_TCN.condition_dimension).astype(np.float32)
+
+    # unsegmented ground truth: one segment spanning everything
+    full = engine.convert_song(audio, emb, segment_length=3 * seg)
+    halo = engine.convert_song(audio, emb, segment_length=seg, halo=2048)
+    plain = engine.convert_song(audio, emb, segment_length=seg)
+
+    # compare a window around an interior boundary
+    b = seg
+    w = slice(b - 256, b + 256)
+    err_halo = np.max(np.abs(halo[:, w] - full[:, w]))
+    err_plain = np.max(np.abs(plain[:, w] - full[:, w]))
+    assert err_halo < err_plain
+    # small TCN receptive field (~1.8k samples) fits in the 2048 halo ->
+    # the haloed output should essentially equal the unsegmented one
+    assert err_halo < 1e-4
+
+
+def test_batched_transfer_with_halo(engine, tmp_path, rng):
+    cfg = InferenceConfig(
+        segment_length=8192, segment_length_ref=8192,
+        normalize_input=False, do_not_separate=True, segment_halo=1024,
+    )
+    target = tmp_path / "songs"
+    for name in ["input", "reference"]:
+        for inst in cfg.instruments:
+            x = (rng.standard_normal((20_000, 2)) * 0.2).astype(np.float32)
+            write_wav(str(target / "h" / "separated" / name / f"{inst}.wav"), x, SR)
+    pipeline = MixingStyleTransfer(engine, cfg)
+    written = pipeline.run_directory(str(target) + "/")
+    mix, _ = read_wav(written[0])
+    assert mix.shape[0] == 20_000
+    assert np.isfinite(mix).all()
