@@ -1,7 +1,7 @@
 from .wavio import read_wav, read_wav_stereo_ct, total_wav_length, wav_length, write_wav
 from .segments import pad_to_batches, reassemble_song, segment_song
 from .datasets import ContrastivePairDataset, StyleTransferTripletDataset
-from .prep import load_ir_bank, load_wav_dir, trim_silence
+from .prep import fade_in, fade_out, load_ir_bank, load_wav_dir, random_trim, trim_silence
 
 __all__ = [
     "ContrastivePairDataset",

@@ -81,6 +81,39 @@ def load_ir_bank(
     return bank, bounds
 
 
+def fade_in(x: np.ndarray, length: int = 128) -> np.ndarray:
+    """Half-hann fade-in on the last axis (reference ``fx_utils.fadeIn``)."""
+    w = np.hanning(2 * length)[:length]
+    env = np.concatenate([w, np.ones(x.shape[-1] - length)])
+    return x * env
+
+
+def fade_out(x: np.ndarray, length: int = 128) -> np.ndarray:
+    """Half-hann fade-out on the last axis (reference ``fx_utils.fadeOut``)."""
+    w = np.hanning(2 * length)[length:]
+    env = np.concatenate([np.ones(x.shape[-1] - length), w])
+    return x * env
+
+
+def random_trim(
+    x: np.ndarray, length: int, rng: Optional[np.random.Generator] = None,
+    start: Optional[int] = None,
+) -> np.ndarray:
+    """Random fixed-length crop with wraparound for short inputs
+    (reference ``fx_utils.getRandomTrim``). Operates on the last axis."""
+    rng = rng or np.random.default_rng()
+    T = x.shape[-1]
+    while T <= length:
+        x = np.concatenate([x, x], axis=-1)
+        T = x.shape[-1]
+    if start is None:
+        start = int(rng.integers(0, T - length))
+    end = start + length
+    if end > T:
+        return np.concatenate([x[..., start:], x[..., : end - T]], axis=-1)
+    return x[..., start:end]
+
+
 def trim_silence(
     audio: np.ndarray, threshold_db: float = -60.0, frame: int = 4096
 ) -> np.ndarray:

@@ -159,6 +159,36 @@ def create_inst_effects_augmentation_chain(
     )
 
 
+def create_reverb_send_chain(
+    low_shelf_gain_db: float = 0.0,
+    high_shelf_gain_db: Optional[float] = None,
+    ir_bank: Optional[np.ndarray] = None,
+    sample_rate: int = 44100,
+    parallel: bool = True,
+    shuffle: bool = False,
+    bands: Sequence[str] = ("low_shelf", "high_shelf"),
+) -> AugmentationChain:
+    """Reverb send: band-shaping EQ into a reverb, mixed in parallel
+    (reference ``get_reverb_send``, ``utils_data_normalization.py:436-477``,
+    used for dataset preparation)."""
+    from .processors import Equaliser as _Eq
+
+    gain = low_shelf_gain_db
+    fixed = {}
+    for band in bands:
+        fixed[f"{band}_gain"] = gain if high_shelf_gain_db is None else (
+            gain if band == "low_shelf" else high_shelf_gain_db
+        )
+    eq = _Eq(sample_rate=sample_rate, bands=tuple(bands), fixed_params=fixed,
+             gain_range=(gain, gain))
+    reverb = _make_processor("reverb", sample_rate, ir_bank)
+    return AugmentationChain(
+        [Stage(eq, 1.0, False), Stage(reverb, 1.0, False)],
+        shuffle=shuffle,
+        parallel=parallel,
+    )
+
+
 def make_instrument_manipulators(
     instruments: Sequence[str] = ("drums", "bass", "other", "vocals"),
     apply_prob_dict: Optional[Dict[str, float]] = None,

@@ -214,3 +214,25 @@ def test_drums_chain_differs(rng):
     for inst, chain in mans.items():
         y = np.asarray(jax.jit(chain)(KEY, x))
         assert np.isfinite(y).all()
+
+
+def test_reverb_send_chain(rng):
+    from music_mixing_style_transfer_tpu.fx.factory import create_reverb_send_chain
+
+    chain = create_reverb_send_chain(low_shelf_gain_db=-50.0, parallel=True)
+    x = jnp.asarray((rng.standard_normal((1, 2, 2**14)) * 0.2).astype(np.float32))
+    y = np.asarray(chain(KEY, x))
+    assert y.shape == x.shape
+    assert np.isfinite(y).all()
+
+
+def test_prep_fades_and_trim(rng):
+    from music_mixing_style_transfer_tpu.data.prep import fade_in, fade_out, random_trim
+
+    x = np.ones((2, 1000), np.float32)
+    fi = fade_in(x, 100)
+    fo = fade_out(x, 100)
+    assert fi[0, 0] < 0.05 and fi[0, -1] == 1.0
+    assert fo[0, 0] == 1.0 and fo[0, -1] < 0.05
+    t = random_trim(np.arange(10, dtype=np.float32), 25, np.random.default_rng(0))
+    assert t.shape == (25,)  # wraparound for short inputs
