@@ -53,11 +53,15 @@ def frame(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
 
     ``[..., T] -> [..., n_frames, frame_length]`` with
     ``n_frames = 1 + (T - frame_length) // hop_length``.
+
+    Indices are built from on-device iota (a numpy index matrix would embed a
+    multi-MB constant in the HLO — large programs choke remote compilation).
     """
     T = x.shape[-1]
     n_frames = 1 + (T - frame_length) // hop_length
     idx = (
-        np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]
+        jnp.arange(n_frames, dtype=jnp.int32)[:, None] * hop_length
+        + jnp.arange(frame_length, dtype=jnp.int32)[None, :]
     )
     return x[..., idx]
 
@@ -129,8 +133,11 @@ def istft(
     frames_t = jnp.fft.irfft(spec, n=n_fft, axis=-1) * w  # [..., n_frames, n_fft]
     T_full = n_fft + hop_length * (n_frames - 1)
 
-    idx = np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
-    flat_idx = jnp.asarray(idx.reshape(-1))
+    idx = (
+        jnp.arange(n_frames, dtype=jnp.int32)[:, None] * hop_length
+        + jnp.arange(n_fft, dtype=jnp.int32)[None, :]
+    )
+    flat_idx = idx.reshape(-1)
 
     batch_shape = spec.shape[:-2]
     frames_flat = frames_t.reshape(batch_shape + (-1,))

@@ -49,15 +49,21 @@ def converter_loss_fn(
 def make_converter_train_step(
     converter: MixFXcloner,
     encoder: FXencoder,
-    enc_vars: Dict[str, Any],
     tx: optax.GradientTransformation,
     rms_weight: float = 0.1,
     axis_name: Optional[str] = None,
 ) -> Callable:
-    def step(state: TrainState, a1, a2, b2):
+    """Returns ``step(state, enc_vars, a1, a2, b2)``.
+
+    The frozen encoder variables are a call ARGUMENT: closure capture would
+    inline all 81M params as HLO *constants* (a 650MB program that remote
+    compilation rejects and that bloats every executable).
+    """
+
+    def step(state: TrainState, enc_vars_arg, a1, a2, b2):
         def loss_fn(params):
             return converter_loss_fn(
-                converter, encoder, params, state.batch_stats, enc_vars,
+                converter, encoder, params, state.batch_stats, enc_vars_arg,
                 a1, a2, b2, rms_weight,
             )
 
@@ -84,19 +90,19 @@ def make_converter_train_step(
 def make_sharded_converter_step(
     converter: MixFXcloner,
     encoder: FXencoder,
-    enc_vars: Dict[str, Any],
     tx: optax.GradientTransformation,
     mesh: Mesh,
     rms_weight: float = 0.1,
     axis: str = "data",
 ):
+    """Returns jitted ``step(state, enc_vars, a1, a2, b2)`` over the mesh."""
     step = make_converter_train_step(
-        converter, encoder, enc_vars, tx, rms_weight, axis_name=axis
+        converter, encoder, tx, rms_weight, axis_name=axis
     )
     sharded = jax.shard_map(
         step,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
         # the FFT transpose rule in the spectral loss confuses the static
         # varying-axes checker (cotangent vma mismatch); the computation is

@@ -156,11 +156,9 @@ def train_converter(
 
     mesh = create_mesh() if use_mesh and len(jax.devices()) > 1 else None
     if mesh is not None:
-        step_fn = make_sharded_converter_step(conv, enc_model, encoder_variables, tx, mesh)
+        step_fn = make_sharded_converter_step(conv, enc_model, tx, mesh)
     else:
-        step_fn = jax.jit(
-            make_converter_train_step(conv, enc_model, encoder_variables, tx)
-        )
+        step_fn = jax.jit(make_converter_train_step(conv, enc_model, tx))
 
     mgr = CheckpointManager(os.path.join(out_dir, "ckpt_conv"), keep=keep_ckpts)
     start_epoch = 0
@@ -189,7 +187,8 @@ def train_converter(
                 b2 = np.concatenate([batch[i]["b2"] for i in ds.instruments])
             with timer.section("step"):
                 state, loss = step_fn(
-                    state, jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(b2)
+                    state, encoder_variables,
+                    jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(b2),
                 )
                 losses.append(float(loss))
         log.info("epoch %d  loss=%.4f  (%s)", epoch, float(np.mean(losses)), timer.summary())

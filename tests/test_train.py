@@ -74,13 +74,13 @@ def test_converter_step_runs(rng):
     enc_model = FXencoder(config=SMALL_ENC)
     enc_vars = enc_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, T)))
     conv, state, tx = init_converter(SMALL_TCN, example_length=T)
-    step = jax.jit(make_converter_train_step(conv, enc_model, enc_vars, tx))
+    step = jax.jit(make_converter_train_step(conv, enc_model, tx))
     a1 = jnp.asarray(rng.standard_normal((2, 2, T)).astype(np.float32) * 0.2)
     a2 = jnp.asarray(rng.standard_normal((2, 2, T)).astype(np.float32) * 0.2)
     b2 = jnp.asarray(rng.standard_normal((2, 2, T)).astype(np.float32) * 0.2)
     losses = []
     for _ in range(3):
-        state, loss = step(state, a1, a2, b2)
+        state, loss = step(state, enc_vars, a1, a2, b2)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
@@ -91,11 +91,11 @@ def test_converter_sharded_runs(rng):
     enc_vars = enc_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, T)))
     conv, state, tx = init_converter(SMALL_TCN, example_length=T)
     mesh = create_mesh(4)
-    step = make_sharded_converter_step(conv, enc_model, enc_vars, tx, mesh)
+    step = make_sharded_converter_step(conv, enc_model, tx, mesh)
     a1 = jnp.asarray(rng.standard_normal((4, 2, T)).astype(np.float32) * 0.2)
     a2 = jnp.asarray(rng.standard_normal((4, 2, T)).astype(np.float32) * 0.2)
     b2 = jnp.asarray(rng.standard_normal((4, 2, T)).astype(np.float32) * 0.2)
-    state, loss = step(state, a1, a2, b2)
+    state, loss = step(state, enc_vars, a1, a2, b2)
     assert np.isfinite(float(loss))
 
 
