@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import glob as globlib
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -18,7 +18,7 @@ application (``audio_effects_chain.py:92``).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -27,7 +27,7 @@ Notable algorithm substitutions (same behaviour, TPU-shaped):
 from __future__ import annotations
 
 import math
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ from typing import Dict
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.resample import bend, phase_vocoder, pitch_shift, playback_speed, time_stretch
+from ..ops.resample import bend, pitch_shift, playback_speed, time_stretch
 
 
 def _round_factor(v: float, q: float = 0.01) -> float:

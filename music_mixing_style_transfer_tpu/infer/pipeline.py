@@ -15,7 +15,6 @@ pretrained system (``models/torch_import.py``); otherwise random init.
 """
 from __future__ import annotations
 
-import functools
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -23,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import Config, FXencoderConfig, InferenceConfig, TCNConfig
+from ..config import FXencoderConfig, InferenceConfig, TCNConfig
 from ..data.segments import pad_to_batches, reassemble_song, segment_song
 from ..data.wavio import read_wav_stereo_ct, write_wav
 from ..models import FXencoder, MixFXcloner

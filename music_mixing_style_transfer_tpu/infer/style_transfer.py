@@ -11,12 +11,9 @@ Expects pre-separated stems (or the ``demucs`` CLI on PATH when
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import glob
 import os
 import sys
-
-import numpy as np
 
 from ..config import InferenceConfig, NormalizationConfig
 from ..infer.pipeline import MixingStyleTransfer, StyleTransferEngine, separate_with_demucs

@@ -16,7 +16,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _cosine_sim_matrix(z: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:

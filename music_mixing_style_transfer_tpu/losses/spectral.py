@@ -14,11 +14,10 @@ STFT front-end (``modules/front_back_end.py:9-82``):
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.stft import hann_window, magnitude, stft
 

@@ -11,9 +11,8 @@ reference's per-block ``cond`` list (``architectures.py:139-140``).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 

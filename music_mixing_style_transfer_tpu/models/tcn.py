@@ -13,7 +13,7 @@ Output: ``[batch, 2, T]`` converted waveform.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+from typing import Sequence, Union
 
 import jax
 import jax.numpy as jnp

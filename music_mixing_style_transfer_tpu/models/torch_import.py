@@ -12,7 +12,7 @@ conversion is a pure renaming — no transposes.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping
 
 import numpy as np
 

@@ -19,7 +19,7 @@ skip rules); only the batching differs.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ import numpy as np
 
 from ..config import NormalizationConfig
 from ..ops.biquad import _odd_ext
-from ..ops.loudness import integrated_loudness, peak_normalize
+from ..ops.loudness import integrated_loudness
 from .imager import normalize_imager
 from .matching import (
     _comp_grid,

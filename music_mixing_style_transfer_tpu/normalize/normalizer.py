@@ -10,9 +10,8 @@ all signal math runs on device. Audio layout: ``[2, T]`` float32.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

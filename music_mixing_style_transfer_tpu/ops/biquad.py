@@ -15,7 +15,7 @@ All filters follow scipy ``lfilter`` zero initial-state semantics.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -29,7 +29,6 @@ Two evaluation strategies:
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Tuple
 

@@ -13,7 +13,6 @@ Gating uses masked reductions (static shapes, jit-friendly).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

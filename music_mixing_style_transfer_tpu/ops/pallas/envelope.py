@@ -20,7 +20,6 @@ Exactness: identical recurrence to the reference numba loop
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ training chains, SURVEY.md §2.1):
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

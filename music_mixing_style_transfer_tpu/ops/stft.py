@@ -14,10 +14,8 @@ TPU FFT; framing is a gather; overlap-add is a scatter-add.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -8,9 +8,8 @@ the published checkpoints (``models/torch_import.py``).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 from .state import TrainState

@@ -14,13 +14,12 @@ reference's DDP + gradient-preserving NCCL all_gather
 """
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import FXencoderConfig, TrainConfig
 from ..losses import nt_xent_loss

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..config import FXencoderConfig, TCNConfig, TrainConfig
+from ..config import TCNConfig, TrainConfig
 from ..losses import multiscale_spectral_midside, rms_loss
 from ..models import FXencoder, MixFXcloner
 from .state import TrainState, create_train_state, make_optimizer

@@ -13,11 +13,10 @@ this module provides the complete TPU training stack around them:
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import time
-from typing import Callable, Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -1,10 +1,9 @@
 """Training state: params + batch stats + optimizer, as a pytree."""
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict
 
 import flax
-import jax
 import jax.numpy as jnp
 import optax
 

@@ -10,7 +10,7 @@ import contextlib
 import logging
 import sys
 import time
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 
 def get_logger(name: str = "mst_tpu") -> logging.Logger:
