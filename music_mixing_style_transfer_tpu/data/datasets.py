@@ -78,9 +78,10 @@ class _MUSDBFiles:
         for i, fi in enumerate(idxs):
             path = self.paths[inst][fi]
             last = self.lengths[inst][fi] - duration
-            start = int(rng.integers(0, max(last, 1)))
-            seg, _ = read_wav(path, start=start, duration=duration)
-            out[i] = seg.T[:2] if seg.shape[1] >= 2 else np.repeat(seg.T, 2, 0)
+            start = int(rng.integers(0, max(last, 1))) if last > 0 else 0
+            seg, _ = read_wav(path, start=start, duration=min(duration, self.lengths[inst][fi]))
+            seg = seg.T[:2] if seg.shape[1] >= 2 else np.repeat(seg.T, 2, 0)
+            out[i, :, : seg.shape[-1]] = seg  # zero-pad files shorter than duration
         return out
 
 

@@ -110,12 +110,13 @@ def train_fxencoder(
                 ca, cb = ds.collate_random_duration(a, b, rng)
             with timer.section("step"):
                 state, loss = step_fn(state, jnp.asarray(ca), jnp.asarray(cb))
-                losses.append(float(loss))
+                losses.append(loss)  # device array: defer sync so host data
+                # prep overlaps device compute (async dispatch)
         log.info(
             "epoch %d  probs=%s  loss=%.4f  (%s)",
             epoch,
             {k: round(v, 2) for k, v in probs.items()},
-            float(np.mean(losses)),
+            float(np.mean([float(l) for l in losses])),
             timer.summary(),
         )
         _log_metrics(
@@ -123,7 +124,7 @@ def train_fxencoder(
             {
                 "model": "fxencoder",
                 "epoch": epoch,
-                "loss": float(np.mean(losses)),
+                "loss": float(np.mean([float(l) for l in losses])),
                 "probs": {k: round(v, 4) for k, v in probs.items()},
                 "wall": {k: round(v, 2) for k, v in timer.totals.items()},
                 "time": time.time(),
@@ -189,14 +190,14 @@ def train_converter(
                     state, encoder_variables,
                     jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(b2),
                 )
-                losses.append(float(loss))
-        log.info("epoch %d  loss=%.4f  (%s)", epoch, float(np.mean(losses)), timer.summary())
+                losses.append(loss)  # defer sync (see contrastive loop)
+        log.info("epoch %d  loss=%.4f  (%s)", epoch, float(np.mean([float(l) for l in losses])), timer.summary())
         _log_metrics(
             out_dir,
             {
                 "model": "converter",
                 "epoch": epoch,
-                "loss": float(np.mean(losses)),
+                "loss": float(np.mean([float(l) for l in losses])),
                 "wall": {k: round(v, 2) for k, v in timer.totals.items()},
                 "time": time.time(),
             },
