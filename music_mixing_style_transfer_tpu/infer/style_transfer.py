@@ -87,13 +87,8 @@ def save_run_config(args, output_dir: str) -> None:
             f.write(f"  - {k:28s}: {v}\n")
 
 
-def main(argv=None) -> int:
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    args = build_parser().parse_args(argv)
-
-    cfg = InferenceConfig(
+def config_from_args(args) -> InferenceConfig:
+    return InferenceConfig(
         sample_rate=args.sample_rate,
         segment_length=args.segment_length,
         segment_length_ref=args.segment_length_ref,
@@ -112,6 +107,14 @@ def main(argv=None) -> int:
         dtype=args.dtype,
         segment_halo=args.segment_halo,
     )
+
+
+def main(argv=None) -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
 
     output_dir = args.output_dir or args.target_dir
     save_run_config(args, output_dir)
@@ -149,7 +152,6 @@ def main(argv=None) -> int:
         ckpt_path_enc=args.ckpt_path_enc,
         ckpt_path_conv=args.ckpt_path_conv,
         dtype=args.dtype,
-        segment_halo=args.segment_halo,
     )
     pipeline = MixingStyleTransfer(engine, cfg, normalizer=normalizer)
     written = pipeline.run_directory(args.target_dir, args.output_dir)

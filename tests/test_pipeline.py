@@ -208,3 +208,25 @@ def test_batched_transfer_with_halo(engine, tmp_path, rng):
     mix, _ = read_wav(written[0])
     assert mix.shape[0] == 20_000
     assert np.isfinite(mix).all()
+
+
+def test_cli_arg_wiring():
+    """CLI args map onto InferenceConfig (catches misplaced kwargs)."""
+    from music_mixing_style_transfer_tpu.infer.style_transfer import (
+        build_parser,
+        config_from_args,
+    )
+
+    args = build_parser().parse_args(
+        [
+            "--segment_length", "8192", "--do_not_separate", "true",
+            "--interpolation", "true", "--segment_halo", "512",
+            "--dtype", "bfloat16", "--normalize_input", "false",
+        ]
+    )
+    cfg = config_from_args(args)
+    assert cfg.segment_length == 8192
+    assert cfg.do_not_separate and cfg.interpolation
+    assert cfg.segment_halo == 512
+    assert cfg.dtype == "bfloat16"
+    assert not cfg.normalize_input
