@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="context samples per segment edge (0 = reference behaviour)")
 
     dev = p.add_argument_group("Device args")
+    dev.add_argument("--workers", type=int, default=1,
+                     help="accepted for reference-CLI compatibility (the TPU "
+                          "pipeline loads on the host thread; FX run on device)")
+    dev.add_argument("--inference_device", type=str, default="tpu",
+                     help="accepted for reference-CLI compatibility (JAX "
+                          "selects the platform; set JAX_PLATFORMS to override)")
     dev.add_argument("--batch_size", type=int, default=1)
     dev.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     dev.add_argument("--separation_device", type=str, default="cpu")
