@@ -1,0 +1,168 @@
+"""HTTP serving for mixing style transfer.
+
+A lightweight stdlib HTTP server wrapping a warm :class:`StyleTransferEngine`
+(the reference ships no serving layer; this framework targets production
+deployment, so keeping models + compiled executables resident across
+requests matters — cold per-song CLI invocations pay ~30s of executable
+cache loading, a warm server pays it once).
+
+Endpoints (JSON over POST unless noted):
+
+- ``GET  /health``      -> {"status": "ok", "backend": "...", "requests": N}
+- ``POST /transfer``    -> body {"target_dir": ..., "output_dir": ...,
+                           optional "interpolation": bool}
+                           runs the directory pipeline, returns written paths
+- ``POST /embed``       -> body {"wav": path, "segment_length": int?}
+                           returns the 2048-D FX embedding
+
+Run:  python -m music_mixing_style_transfer_tpu.serve --port 8700 \
+          [--ckpt_path_enc ... --ckpt_path_conv ... --dtype bfloat16]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from .config import InferenceConfig, NormalizationConfig
+from .data.wavio import read_wav_stereo_ct
+from .infer.pipeline import MixingStyleTransfer, StyleTransferEngine
+from .utils.logging import get_logger
+
+log = get_logger("serve")
+
+
+class StyleTransferService:
+    """Warm engine + (optional) normalizer; one request at a time on the chip."""
+
+    def __init__(
+        self,
+        engine: StyleTransferEngine,
+        inference_cfg: Optional[InferenceConfig] = None,
+        normalizer=None,
+    ):
+        self.engine = engine
+        self.cfg = inference_cfg or InferenceConfig()
+        self.normalizer = normalizer
+        self._lock = threading.Lock()
+        self.requests = 0
+
+    def transfer(self, target_dir: str, output_dir: Optional[str] = None, interpolation: bool = False):
+        import dataclasses
+
+        with self._lock:
+            self.requests += 1
+            cfg = dataclasses.replace(self.cfg, interpolation=interpolation)
+            pipeline = MixingStyleTransfer(self.engine, cfg, normalizer=self.normalizer)
+            return pipeline.run_directory(target_dir, output_dir)
+
+    def embed(self, wav_path: str, segment_length: Optional[int] = None):
+        with self._lock:
+            self.requests += 1
+            audio = read_wav_stereo_ct(wav_path, expected_rate=self.cfg.sample_rate)
+            emb = self.engine.embed_song(
+                audio, segment_length or self.cfg.segment_length_ref
+            )
+            return np.asarray(emb).tolist()
+
+
+def make_handler(service: StyleTransferService):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):
+            log.info("%s %s", self.address_string(), fmt % args)
+
+        def do_GET(self):
+            if self.path == "/health":
+                import jax
+
+                self._send(
+                    200,
+                    {
+                        "status": "ok",
+                        "backend": jax.default_backend(),
+                        "requests": service.requests,
+                    },
+                )
+            else:
+                self._send(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/transfer":
+                    written = service.transfer(
+                        req["target_dir"],
+                        req.get("output_dir"),
+                        bool(req.get("interpolation", False)),
+                    )
+                    self._send(200, {"written": written})
+                elif self.path == "/embed":
+                    emb = service.embed(req["wav"], req.get("segment_length"))
+                    self._send(200, {"embedding": emb})
+                else:
+                    self._send(404, {"error": "unknown endpoint"})
+            except Exception as e:  # pragma: no cover - error path
+                log.exception("request failed")
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(service: StyleTransferService, port: int = 8700, host: str = "127.0.0.1"):
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    log.info("serving on http://%s:%d", host, port)
+    return httpd
+
+
+def main(argv=None) -> int:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--port", type=int, default=8700)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--ckpt_path_enc", type=str, default=None)
+    p.add_argument("--ckpt_path_conv", type=str, default=None)
+    p.add_argument("--precomputed_normalization_feature", type=str, default=None)
+    p.add_argument("--normalize_input", action="store_true")
+    p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--segment_halo", type=int, default=0)
+    args = p.parse_args(argv)
+
+    engine = StyleTransferEngine(
+        ckpt_path_enc=args.ckpt_path_enc,
+        ckpt_path_conv=args.ckpt_path_conv,
+        dtype=args.dtype,
+    )
+    normalizer = None
+    if args.normalize_input and args.precomputed_normalization_feature:
+        from .normalize import AudioEffectsNormalizer
+
+        normalizer = AudioEffectsNormalizer(args.precomputed_normalization_feature)
+    cfg = InferenceConfig(
+        do_not_separate=True,
+        normalize_input=normalizer is not None,
+        dtype=args.dtype,
+        segment_halo=args.segment_halo,
+    )
+    service = StyleTransferService(engine, cfg, normalizer)
+    serve(service, args.port, args.host).serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
