@@ -24,6 +24,7 @@ import numpy as np
 
 from ..config import FXencoderConfig, TCNConfig, TrainConfig
 from ..data.datasets import ContrastivePairDataset, StyleTransferTripletDataset
+from ..data.prefetch import BatchPrefetcher
 from ..models import FXencoder
 from ..parallel import create_mesh
 from ..utils.logging import Timer, get_logger
@@ -103,15 +104,17 @@ def train_fxencoder(
         )
         rng = np.random.default_rng(tcfg.seed + epoch)
         losses = []
-        for step in range(steps_per_epoch):
-            with timer.section("data"):
-                idxs = list(range(step * batch_items, (step + 1) * batch_items))
-                a, b = ds.sample_batch(idxs, epoch_seed=tcfg.seed + epoch)
-                ca, cb = ds.collate_random_duration(a, b, rng)
+
+        def make_batch(step):
+            idxs = list(range(step * batch_items, (step + 1) * batch_items))
+            a, b = ds.sample_batch(idxs, epoch_seed=tcfg.seed + epoch)
+            return ds.collate_random_duration(a, b, rng)
+
+        for ca, cb in BatchPrefetcher(make_batch, steps_per_epoch):
             with timer.section("step"):
                 state, loss = step_fn(state, jnp.asarray(ca), jnp.asarray(cb))
-                losses.append(loss)  # device array: defer sync so host data
-                # prep overlaps device compute (async dispatch)
+                losses.append(loss)  # device array: defer sync; prefetch thread
+                # keeps the next batch's WAV IO off the critical path
         log.info(
             "epoch %d  probs=%s  loss=%.4f  (%s)",
             epoch,
@@ -177,14 +180,17 @@ def train_converter(
     timer = Timer()
     for epoch in range(start_epoch, epochs):
         losses = []
-        for step in range(steps_per_epoch):
-            with timer.section("data"):
-                idxs = list(range(step * batch_items, (step + 1) * batch_items))
-                batch = ds.sample_batch(idxs, epoch_seed=tcfg.seed + epoch)
-                # stack instruments into the batch axis
-                a1 = np.concatenate([batch[i]["a1"] for i in ds.instruments])
-                a2 = np.concatenate([batch[i]["a2"] for i in ds.instruments])
-                b2 = np.concatenate([batch[i]["b2"] for i in ds.instruments])
+
+        def make_batch(step):
+            idxs = list(range(step * batch_items, (step + 1) * batch_items))
+            batch = ds.sample_batch(idxs, epoch_seed=tcfg.seed + epoch)
+            # stack instruments into the batch axis
+            a1 = np.concatenate([batch[i]["a1"] for i in ds.instruments])
+            a2 = np.concatenate([batch[i]["a2"] for i in ds.instruments])
+            b2 = np.concatenate([batch[i]["b2"] for i in ds.instruments])
+            return a1, a2, b2
+
+        for a1, a2, b2 in BatchPrefetcher(make_batch, steps_per_epoch):
             with timer.section("step"):
                 state, loss = step_fn(
                     state, encoder_variables,

@@ -148,3 +148,21 @@ def test_convert_ckpt_cli(tmp_path, rng):
     a = jax.tree.leaves(variables)[0]
     b = jax.tree.leaves(restored)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_batch_prefetcher_order_and_errors():
+    from music_mixing_style_transfer_tpu.data.prefetch import BatchPrefetcher
+
+    out = list(BatchPrefetcher(lambda i: i * i, 5))
+    assert out == [0, 1, 4, 9, 16]
+
+    def boom(i):
+        if i == 2:
+            raise ValueError("boom")
+        return i
+
+    got = []
+    with pytest.raises(ValueError):
+        for v in BatchPrefetcher(boom, 5):
+            got.append(v)
+    assert got == [0, 1]
