@@ -177,6 +177,11 @@ def compute_spectral_features(
         ft_t = spectral_flatness(ta)
         ft_o = spectral_flatness(to)
 
+        # NaN guards mirroring the reference's asserts
+        # (utils_data_normalization.py:608-628)
+        for nm, v in (("centroid_tar", sc_t), ("centroid_out", sc_o),
+                      ("bandwidth_tar", bw_t), ("bandwidth_out", bw_o)):
+            assert not np.isnan(v).any(), f"NaN values in {nm}"
         acc["centroid"].append(
             mape(running_mean_std(sc_t + eps, N)[0], running_mean_std(sc_o + eps, N)[0])
         )
