@@ -175,3 +175,31 @@ def test_batched_normalizer_matches_per_stem(normalizer, rng):
         ref_rms = np.sqrt(np.mean(seq[i] ** 2))
         err = np.sqrt(np.mean((seq[i] - bat[i]) ** 2))
         assert err / (ref_rms + 1e-12) < 0.05, f"{i}: nrmse {err/ref_rms}"
+
+
+def test_batched_stages_match_per_stem_tightly(normalizer, rng):
+    """Per-stage equivalence of the batched path vs the sequential path."""
+    from music_mixing_style_transfer_tpu.normalize.batch import (
+        BatchedAudioEffectsNormalizer,
+    )
+
+    cfg = normalizer.cfg
+    stems = {
+        "drums": _music_like(rng, seconds=1.0),
+        "vocals": _music_like(rng, seconds=1.0) * 0.6,
+    }
+    b = BatchedAudioEffectsNormalizer(normalizer.features, cfg)
+    insts = list(stems.keys())
+    T = stems["drums"].shape[-1]
+    x = np.stack(
+        [np.pad(v, ((0, 0), (cfg.fft_size, cfg.fft_size))) for v in stems.values()]
+    )
+
+    for effect, tol in [("loudness", 1e-4), ("eq", 2e-2), ("imager", 1e-3)]:
+        batched = np.asarray(getattr(b, f"_stage_{effect}")(jnp.asarray(x), insts))
+        for s, inst in enumerate(insts):
+            seq = normalizer.normalize_audio_per_effect(stems[inst], inst, effect)
+            got = batched[s, :, cfg.fft_size : cfg.fft_size + T]
+            rms = np.sqrt(np.mean(seq**2)) + 1e-12
+            nrmse = np.sqrt(np.mean((got - seq) ** 2)) / rms
+            assert nrmse < tol, f"{effect}/{inst}: nrmse {nrmse}"
