@@ -50,10 +50,27 @@ class StyleTransferEngine:
         ckpt_path_conv: Optional[str] = None,
         dtype: str = "float32",
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
+        inference then shards the segment batch across chips (parameters
+        replicated), the multi-chip analogue of the reference's long-input
+        segmentation (SURVEY.md §5.7). Segment buckets are rounded up to the
+        mesh size."""
         self.encoder_cfg = encoder_cfg or FXencoderConfig()
         self.converter_cfg = converter_cfg or TCNConfig()
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._seg_sharding = NamedSharding(mesh, P("data"))
+            self._rep_sharding = NamedSharding(mesh, P())
+            self._n_shards = int(np.prod(mesh.devices.shape))
+        else:
+            self._seg_sharding = None
+            self._rep_sharding = None
+            self._n_shards = 1
 
         self.encoder = FXencoder(config=self.encoder_cfg)
         self.converter = MixFXcloner(config=self.converter_cfg)
@@ -82,8 +99,9 @@ class StyleTransferEngine:
         self.enc_vars = jax.tree.map(lambda a: jnp.asarray(a, dtype=self.dtype), self.enc_vars)
         self.conv_vars = jax.tree.map(lambda a: jnp.asarray(a, dtype=self.dtype), self.conv_vars)
 
-        # jitted kernels (cached per input bucket shape)
-        @jax.jit
+        # jitted kernels (cached per input bucket shape); with a mesh the
+        # segment axis is sharded over 'data' and parameters replicate — XLA
+        # inserts the all-reduces for the masked means automatically
         def _encode_mean(enc_vars, segments, mask):
             """[N, 2, L] -> masked mean embedding [D]."""
             x = segments.astype(self.dtype)
@@ -91,7 +109,6 @@ class StyleTransferEngine:
             w = mask.astype(jnp.float32)[:, None]
             return jnp.sum(emb * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
 
-        @jax.jit
         def _convert(conv_vars, segments, embedding):
             x = segments.astype(self.dtype)
             cond = jnp.broadcast_to(
@@ -99,7 +116,6 @@ class StyleTransferEngine:
             )
             return self.converter.apply(conv_vars, x, cond).astype(jnp.float32)
 
-        @jax.jit
         def _convert_multi(conv_vars, segments, embeddings):
             """Per-segment embeddings (interpolation mode)."""
             x = segments.astype(self.dtype)
@@ -107,17 +123,45 @@ class StyleTransferEngine:
                 conv_vars, x, embeddings.astype(self.dtype)
             ).astype(jnp.float32)
 
-        @jax.jit
         def _encode_group_mean(enc_vars, segments, group_onehot):
             """[N, 2, L] + group one-hot [G, N] -> per-group mean embeddings [G, D]."""
             emb = self.encoder.apply(enc_vars, segments.astype(self.dtype)).astype(jnp.float32)
             w = group_onehot.astype(jnp.float32)
             return (w @ emb) / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
 
+        if self._seg_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            seg, rep = self._seg_sharding, self._rep_sharding
+            onehot_sh = NamedSharding(self.mesh, P(None, "data"))
+            _encode_mean = jax.jit(
+                _encode_mean, in_shardings=(rep, seg, seg), out_shardings=rep
+            )
+            _convert = jax.jit(
+                _convert, in_shardings=(rep, seg, rep), out_shardings=seg
+            )
+            _convert_multi = jax.jit(
+                _convert_multi, in_shardings=(rep, seg, seg), out_shardings=seg
+            )
+            _encode_group_mean = jax.jit(
+                _encode_group_mean, in_shardings=(rep, seg, onehot_sh), out_shardings=rep
+            )
+        else:
+            _encode_mean = jax.jit(_encode_mean)
+            _convert = jax.jit(_convert)
+            _convert_multi = jax.jit(_convert_multi)
+            _encode_group_mean = jax.jit(_encode_group_mean)
+
         self._encode_mean = _encode_mean
         self._convert = _convert
         self._convert_multi = _convert_multi
         self._encode_group_mean = _encode_group_mean
+
+    def _pad_bucket(self, n: int) -> int:
+        """Bucket size for n segments, rounded to a mesh-divisible count."""
+        b = _bucket(n)
+        k = self._n_shards
+        return -(-b // k) * k
 
     # ------------------------------------------------------------------
     def embed_song(self, audio: np.ndarray, segment_length: int) -> np.ndarray:
@@ -126,7 +170,7 @@ class StyleTransferEngine:
             audio = np.pad(audio, ((0, 0), (0, segment_length - audio.shape[-1])))
         segments, _ = segment_song(audio, segment_length)
         n_valid = segments.shape[0]
-        segments, _ = pad_to_batches(segments, _bucket(n_valid))
+        segments, _ = pad_to_batches(segments, self._pad_bucket(n_valid))
         mask = np.arange(segments.shape[0]) < n_valid
         emb = self._encode_mean(self.enc_vars, jnp.asarray(segments), jnp.asarray(mask))
         return np.asarray(emb)
@@ -154,7 +198,7 @@ class StyleTransferEngine:
                 audio = np.pad(audio, ((0, 0), (0, segment_length - T)))
             segments, _ = segment_song(audio, segment_length)
             n_valid = segments.shape[0]
-            segments, _ = pad_to_batches(segments, _bucket(n_valid))
+            segments, _ = pad_to_batches(segments, self._pad_bucket(n_valid))
             out = self._convert(self.conv_vars, jnp.asarray(segments), jnp.asarray(embedding))
             return reassemble_song(np.asarray(out)[:n_valid], T)
 
@@ -167,7 +211,7 @@ class StyleTransferEngine:
             [padded[:, s : s + segment_length + 2 * halo] for s in starts]
         )
         n_valid = segs.shape[0]
-        segs, _ = pad_to_batches(segs, _bucket(n_valid))
+        segs, _ = pad_to_batches(segs, self._pad_bucket(n_valid))
         out = np.asarray(
             self._convert(self.conv_vars, jnp.asarray(segs), jnp.asarray(embedding))
         )[:n_valid, :, halo : halo + segment_length]
@@ -188,6 +232,7 @@ class StyleTransferEngine:
         chunk_len = T // n_chunks + 1
         segments, _ = segment_song(audio, chunk_len)
         n_valid = segments.shape[0]
+        segments, _ = pad_to_batches(segments, self._pad_bucket(n_valid))
         w = np.clip((n_chunks - 1 - np.arange(segments.shape[0])) / max(n_chunks - 1, 1), 0, 1)
         embs = w[:, None] * emb_a[None, :] + (1 - w)[:, None] * emb_b[None, :]
         out = self._convert_multi(
@@ -284,7 +329,7 @@ class MixingStyleTransfer:
             ref_segs.append(segs)
             ref_groups.extend([gi] * segs.shape[0])
         ref_all = np.concatenate(ref_segs, axis=0)
-        ref_all, n_valid = pad_to_batches(ref_all, _bucket(ref_all.shape[0]))
+        ref_all, n_valid = pad_to_batches(ref_all, self.engine._pad_bucket(ref_all.shape[0]))
         onehot = np.zeros((len(insts), ref_all.shape[0]), np.float32)
         for j, g in enumerate(ref_groups):
             onehot[g, j] = 1.0
@@ -320,7 +365,7 @@ class MixingStyleTransfer:
             in_counts.append(segs.shape[0])
         in_all = np.concatenate(in_segs, axis=0)
         n_in = in_all.shape[0]
-        in_all, _ = pad_to_batches(in_all, _bucket(n_in))
+        in_all, _ = pad_to_batches(in_all, self.engine._pad_bucket(n_in))
         cond = np.zeros((in_all.shape[0], embs.shape[1]), np.float32)
         ofs = 0
         for gi, cnt in enumerate(in_counts):

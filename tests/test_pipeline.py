@@ -230,3 +230,24 @@ def test_cli_arg_wiring():
     assert cfg.segment_halo == 512
     assert cfg.dtype == "bfloat16"
     assert not cfg.normalize_input
+
+
+def test_mesh_sharded_inference_matches_single(rng):
+    """Engine with a 4-device mesh == single-device engine (params replicated,
+    segment batch sharded over 'data')."""
+    from music_mixing_style_transfer_tpu.parallel import create_mesh
+
+    e_single = StyleTransferEngine(encoder_cfg=SMALL_ENC, converter_cfg=SMALL_TCN, seed=7)
+    e_mesh = StyleTransferEngine(
+        encoder_cfg=SMALL_ENC, converter_cfg=SMALL_TCN, seed=7, mesh=create_mesh(4)
+    )
+    audio = (rng.standard_normal((2, 5 * 8192)) * 0.2).astype(np.float32)
+    ref = (rng.standard_normal((2, 3 * 8192)) * 0.2).astype(np.float32)
+
+    emb1 = e_single.embed_song(ref, 8192)
+    emb2 = e_mesh.embed_song(ref, 8192)
+    np.testing.assert_allclose(emb1, emb2, rtol=1e-4, atol=1e-5)
+
+    y1 = e_single.convert_song(audio, emb1, 8192)
+    y2 = e_mesh.convert_song(audio, emb2, 8192)
+    np.testing.assert_allclose(y1, y2, rtol=1e-4, atol=1e-5)
