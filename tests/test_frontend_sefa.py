@@ -85,3 +85,32 @@ def test_sefa_per_block_edit_changes_output(rng):
     base = tcn.apply(v, x, jnp.asarray(cond)[None])
     edited = tcn.apply(v, x, [jnp.asarray(c)[None] for c in conds])
     assert not np.allclose(np.asarray(base), np.asarray(edited))
+
+
+def test_backend_mag_phase_roundtrip(rng):
+    n_fft, hop = 512, 128
+    be = BackEnd(channel="stereo", n_fft=n_fft, hop_length=hop)
+    from music_mixing_style_transfer_tpu.ops.stft import hann_window, stft
+
+    x = jnp.asarray((rng.standard_normal((1, 2, 4100)) * 0.3).astype(np.float32))
+    win = hann_window(n_fft)
+    spec_l = stft(x[:, 0], n_fft, hop, win, center=True)
+    spec_r = stft(x[:, 1], n_fft, hop, win, center=True)
+    mag = jnp.stack(
+        [jnp.abs(jnp.swapaxes(spec_l, -1, -2)), jnp.abs(jnp.swapaxes(spec_r, -1, -2))], 1
+    )[:, :, :-1]  # drop Nyquist like FrontEnd
+    ph = jnp.stack(
+        [jnp.angle(jnp.swapaxes(spec_l, -1, -2)), jnp.angle(jnp.swapaxes(spec_r, -1, -2))], 1
+    )[:, :, :-1]
+    y = np.asarray(be.mag_phase_to_wave(mag, ph))
+    ref = np.asarray(x)
+    n = min(ref.shape[-1], y.shape[-1])
+    err = np.sqrt(np.mean((y[..., hop : n - n_fft] - ref[..., hop : n - n_fft]) ** 2))
+    assert err < 0.02  # Nyquist-zeroing loss only
+
+
+def test_frontend_hamming_window(rng):
+    fe = FrontEnd(channel="mono", n_fft=256, hop_length=64, window="hamming")
+    x = jnp.asarray(rng.standard_normal((1, 2048)).astype(np.float32))
+    out = fe(x, mode=["mag"])
+    assert np.isfinite(np.asarray(out)).all()

@@ -114,3 +114,16 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.asarray(jax.tree.leaves(restored1.params)[0]),
         np.asarray(jax.tree.leaves(state.params)[0]),
     )
+
+
+def test_checkpoint_retention(tmp_path):
+    """keep=2 prunes older checkpoints (reference remove_ckpt semantics)."""
+    enc, state, tx = init_contrastive(SMALL_ENC, example_length=T)
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=2)
+    for step in [1, 2, 3]:
+        mgr.save(step, state)
+    assert mgr.latest_step() == 3
+    with pytest.raises(Exception):
+        mgr.restore(state, step=1)  # pruned
+    restored = mgr.restore(state, step=2)
+    assert restored is not None
