@@ -451,3 +451,10 @@ def mfcc_distances(
         "manhattan": round(float(np.mean(np.sum(np.abs(diff), axis=0))), 5),
         "cosine": round(float(np.mean(cos)), 5),
     }
+
+
+def highpass_filtering(x_list, f0: float, sr: int):
+    """4th-order butterworth zero-phase highpass over a list of signals
+    (reference ``fx_utils.highpassFiltering`` :203-210)."""
+    b, a = scipy.signal.butter(4, f0 / (sr / 2), "highpass")
+    return [np.asarray(scipy.signal.filtfilt(b, a, x), dtype=np.float32) for x in x_list]

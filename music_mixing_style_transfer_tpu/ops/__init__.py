@@ -6,6 +6,8 @@ from .stft import (
     hamming_window,
     istft,
     magnitude,
+    overlap,
+    slicing,
     sqrt_hann_window,
     stft,
 )
@@ -19,13 +21,14 @@ from .biquad import (
     fir_filter,
     rbj_coeffs,
 )
-from .compressor import amp_to_db, compressor_process, static_gain_curve
+from .compressor import amp_to_db, compand, compand_transfer_table, compressor_process, static_gain_curve
 from .fftconv import fft_convolve_full, convolve_wet
 from .loudness import (
     integrated_loudness,
     k_weight,
     loudness_normalize,
     lufs_normalize,
+    lufs_normalize_compand,
     peak_normalize,
 )
 from .resample import (

@@ -143,3 +143,93 @@ def compressor_process(
         y_l = _envelope_scan(x_l, a_att, a_rel)
     c = jnp.power(10.0, (makeup_db - y_l) / 20.0)
     return x * c
+
+
+# ===========================================================================
+# sox-style compander (reference ``fx_utils.py:240-263``, libsox compand)
+# ===========================================================================
+def compand_transfer_table(
+    tf_points=((-70.0, -70.0), (-0.1, -20.0), (0.0, 0.0)),
+    soft_knee_db: float = 1.0,
+    db_min: float = DB_FLOOR,
+    db_step: float = 0.05,
+):
+    """Dense (in_db -> out_db) lookup table for a compand transfer curve.
+
+    The reference shells out to libsox's ``compand`` (``fx_utils.py:242-250``);
+    here the piecewise-linear dB transfer function through ``tf_points`` is
+    densified on the host (parameters are static) and the corners smoothed by
+    a ``soft_knee_db``-wide boxcar — the moving average of a piecewise-linear
+    curve is exactly the piecewise-quadratic soft knee. Returns
+    ``(grid_db, out_db)`` float32 numpy arrays for ``jnp.interp``.
+    """
+    import numpy as np
+
+    pts = np.asarray(sorted(tf_points), dtype=np.float64)
+    grid = np.arange(db_min, 0.0 + db_step, db_step)
+    # piecewise-linear through the points, unity slope below the first point
+    first_in, first_out = pts[0]
+    out = np.interp(grid, pts[:, 0], pts[:, 1])
+    below = grid < first_in
+    out[below] = first_out + (grid[below] - first_in)
+    # soft knee: round each interior corner with the standard quadratic
+    # blend over radius r = min(knee/2, half of each adjacent segment) —
+    # mirroring sox, which shrinks the knee where segments are shorter.
+    if soft_knee_db and soft_knee_db > 0:
+        knots = np.concatenate([[grid[0]], pts[:, 0]])
+        for j in range(1, len(knots) - 1):
+            xk = knots[j]
+            r = min(
+                soft_knee_db / 2.0,
+                (xk - knots[j - 1]) / 2.0,
+                (knots[j + 1] - xk) / 2.0,
+            )
+            if r <= db_step:
+                continue
+            yk = float(np.interp(xk, pts[:, 0], pts[:, 1])) if xk >= first_in else (
+                first_out + (xk - first_in)
+            )
+            # slopes from the piecewise-linear curve just outside the knee
+            i_lo = max(0, int(round((xk - r - db_min) / db_step)))
+            i_hi = min(len(grid) - 1, int(round((xk + r - db_min) / db_step)))
+            s0 = (yk - out[i_lo]) / max(r, db_step)
+            s1 = (out[i_hi] - yk) / max(r, db_step)
+            mask = (grid >= xk - r) & (grid <= xk + r)
+            xx = grid[mask]
+            out[mask] = yk + s0 * (xx - xk) + (s1 - s0) / (4.0 * r) * (xx - xk + r) ** 2
+    return grid.astype(np.float32), out.astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("sample_rate",))
+def _compand_apply(x, grid, table, a_att, a_rel, sample_rate: int = 44100):
+    # envelope over the channel-max absolute value, shared across channels
+    v = jnp.max(jnp.abs(x), axis=-2, keepdims=True)  # [..., 1, T]
+    env = _envelope_scan(v, a_att, a_rel)
+    env_db = amp_to_db(env)
+    out_db = jnp.interp(env_db, grid, table)
+    gain = jnp.power(10.0, (out_db - env_db) / 20.0)
+    return x * gain
+
+
+def compand(
+    x: jnp.ndarray,
+    attack_s: float = 0.001,
+    decay_s: float = 0.01,
+    tf_points=((-70.0, -70.0), (-0.1, -20.0), (0.0, 0.0)),
+    soft_knee_db: float = 1.0,
+    sample_rate: int = 44100,
+) -> jnp.ndarray:
+    """sox-style compander over ``[..., C, T]`` audio (TPU-native stand-in for
+    ``soxbindings.Transformer.compand``, reference ``fx_utils.py:242-250``).
+
+    The linear-domain envelope follows the channel-max amplitude with
+    attack/decay one-pole smoothing (branchless max-affine scan — valid since
+    attack <= decay), then the soft-kneed dB transfer curve is applied as a
+    shared gain. Not bit-identical to libsox, but the same response shape.
+    """
+    if attack_s > decay_s:
+        raise ValueError("compand requires attack_s <= decay_s")
+    grid, table = compand_transfer_table(tf_points, soft_knee_db)
+    a_att = jnp.exp(-1.0 / (sample_rate * attack_s))
+    a_rel = jnp.exp(-1.0 / (sample_rate * decay_s))
+    return _compand_apply(x, jnp.asarray(grid), jnp.asarray(table), a_att, a_rel, sample_rate)

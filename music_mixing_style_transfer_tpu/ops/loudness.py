@@ -114,3 +114,23 @@ def lufs_normalize(x: jnp.ndarray, rate: int, target_lufs) -> jnp.ndarray:
     y = loudness_normalize(x, loud, target_lufs)
     maxabs = jnp.maximum(1.0, 1e-6 + jnp.max(jnp.abs(y)))
     return y / maxabs
+
+
+def lufs_normalize_compand(x: jnp.ndarray, rate: int, target_lufs) -> jnp.ndarray:
+    """Reference ``fx_utils.lufs_normalize_compand`` (:240-263): sox compand
+    (attack 1 ms, decay 10 ms, knee 1 dB, curve (-70,-70)/(-0.1,-20)/(0,0))
+    followed by BS.1770 loudness normalization with peak protection.
+
+    ``x``: ``[C, T]`` channel-first (the fx-ops convention; the reference
+    operates on ``[T, C]`` — loudness is measured on the transpose)."""
+    from .compressor import compand
+
+    y = compand(x, attack_s=0.001, decay_s=0.01,
+                tf_points=((-70.0, -70.0), (-0.1, -20.0), (0.0, 0.0)),
+                soft_knee_db=1.0, sample_rate=rate)
+    loud = integrated_loudness(y.T + 1e-10, rate)
+    # fully-gated (silent) input measures -inf LUFS; the reference chain
+    # (pyloudnorm) NaNs there — pass silence through unchanged instead
+    y = jnp.where(jnp.isfinite(loud), loudness_normalize(y, loud, target_lufs), y)
+    maxabs = jnp.maximum(1.0, 1e-6 + jnp.max(jnp.abs(y)))
+    return y / maxabs

@@ -177,3 +177,58 @@ def compute_istft(spec: jnp.ndarray, hop_length: int, fft_size: int, length: Opt
     win = sqrt_hann_window(fft_size)
     y = istft(jnp.moveaxis(spec, 1, 0), hop_length, win, center=False, length=length)
     return y.T
+
+
+def slicing(
+    x: jnp.ndarray,
+    win_length: int,
+    hop_length: int,
+    center: bool = True,
+    windowing: bool = False,
+    pad: int = 0,
+) -> jnp.ndarray:
+    """Frame a 1-D signal into ``[n_frames, win_length]`` windows — drop-in
+    for reference ``fx_utils.slicing`` (:164-179), including its asymmetric
+    center padding (left ``(win-hop+pad)//2``, right ``(win+hop+pad)//2``)
+    and periodic-hann windowing."""
+    x = jnp.asarray(x)
+    if center:
+        lpad = int((win_length - hop_length + pad) // 2)
+        rpad = int((win_length + hop_length + pad) // 2)
+        x = jnp.pad(x, (lpad, rpad))
+    frames = frame(x, win_length, hop_length)  # [n_frames, win]
+    if windowing:
+        frames = frames * jnp.asarray(hann_window(win_length, periodic=True))
+    return frames.astype(jnp.float32)
+
+
+def overlap(
+    frames: jnp.ndarray,
+    x_len: int,
+    win_length: int,
+    hop_length: int,
+    windowing: bool = True,
+    rate: float = 1.0,
+) -> jnp.ndarray:
+    """Overlap-add ``[n_frames, win_length]`` frames back to a signal —
+    drop-in for reference ``fx_utils.overlap`` (:182-198): hann re-windowing
+    with ``rate * hop/win`` amplitude correction, OLA over ``x_len//hop``
+    frames, then trim ``win//2`` from both ends."""
+    frames = jnp.asarray(frames).reshape(frames.shape[0], frames.shape[1])
+    if windowing:
+        w = jnp.asarray(hann_window(win_length, periodic=True))
+        rate = rate * hop_length / win_length
+    else:
+        w = jnp.ones((win_length,), jnp.float32)
+        rate = 1.0
+    n_frames = int(x_len / hop_length)
+    n_frames = min(n_frames, frames.shape[0])
+    expected_len = int(win_length + hop_length * (x_len / hop_length))
+    idx = (
+        jnp.arange(n_frames, dtype=jnp.int32)[:, None] * hop_length
+        + jnp.arange(win_length, dtype=jnp.int32)[None, :]
+    )
+    y = jnp.zeros((expected_len,), frames.dtype)
+    y = y.at[idx.reshape(-1)].add((frames[:n_frames] * w).reshape(-1))
+    y = y[win_length // 2 : -(win_length // 2)]
+    return (y * rate).astype(jnp.float32)
