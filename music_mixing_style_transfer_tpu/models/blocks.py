@@ -87,6 +87,54 @@ def conv1d(
     return y
 
 
+def conv1d_nhc(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    dilation: int = 1,
+    causal: bool = False,
+) -> jnp.ndarray:
+    """Same-length 1-D conv on channels-LAST ``[B, T, C]`` activations with
+    the dilation folded into a second spatial axis.
+
+    A dilation-``d`` conv equals a dense conv applied to the ``d`` interleaved
+    subsequences ``x[..., r::d, :]``; viewing ``[B, T, C]`` as ``[B, T/d, d, C]``
+    makes that a (k, 1) NHWC 2-D conv — the layout/algorithm XLA:TPU tiles
+    best (measured ~140 TFLOP/s bf16 on v5e vs ~74 for the direct dilated
+    NCH lowering at d >= 1024). Kernel stays in torch layout ``[O, I, K]``
+    for checkpoint compatibility. Symmetric zero pad ``(k-1)*d/2`` per side
+    (torch Conv1d ``padding=(k-1)*d//2``), or left-only ``(k-1)*d`` if causal.
+    """
+    K = kernel.shape[-1]
+    wh = jnp.transpose(kernel, (2, 1, 0))  # [K, I, O]
+    B, T, Cin = x.shape
+    pl, pr = ((K - 1), 0) if causal else ((K - 1) // 2, (K - 1) - (K - 1) // 2)
+    if dilation == 1:
+        dn = jax.lax.conv_dimension_numbers(x.shape, wh.shape, ("NHC", "HIO", "NHC"))
+        y = jax.lax.conv_general_dilated(
+            x, wh, (1,), [(pl, pr)], dimension_numbers=dn, precision=_CONV_PRECISION
+        )
+    else:
+        d = dilation
+        Tp = -(-T // d) * d
+        if Tp != T:
+            # right zero-pad to a multiple of d; extra outputs are sliced off
+            # and in-range outputs see zeros beyond T exactly like the
+            # reference's zero padding
+            x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+        x4 = x.reshape(B, Tp // d, d, Cin)
+        w4 = wh[:, None, :, :]  # [K, 1, I, O]
+        dn = jax.lax.conv_dimension_numbers(x4.shape, w4.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x4, w4, (1, 1), [(pl, pr), (0, 0)], dimension_numbers=dn,
+            precision=_CONV_PRECISION,
+        )
+        y = y.reshape(B, Tp, -1)[:, :T]
+    if bias is not None:
+        y = y + bias[None, None, :]
+    return y
+
+
 def _torch_conv_init(in_ch: int, kernel_size: int, groups: int = 1):
     """torch Conv1d default init: kaiming-uniform(a=sqrt(5)) == U(-b, b) with
     b = 1/sqrt(fan_in), fan_in = (in_ch/groups) * k."""
@@ -113,6 +161,7 @@ class BatchNorm1d(nn.Module):
 
     features: int
     use_running_average: bool = True
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -121,21 +170,23 @@ class BatchNorm1d(nn.Module):
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(self.features))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(self.features))
 
+        reduce_axes = (0, 1) if self.channels_last else (0, 2)
+        bcast = (None, None, slice(None)) if self.channels_last else (None, slice(None), None)
+
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            reduce_axes = (0, 2)
             mean = jnp.mean(x, axis=reduce_axes)
             var = jnp.mean(jnp.square(x), axis=reduce_axes) - jnp.square(mean)
-            n = x.shape[0] * x.shape[2]
+            n = x.shape[reduce_axes[0]] * x.shape[reduce_axes[1]]
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
                 ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
                 ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * unbiased
 
         inv = jax.lax.rsqrt(var + BN_EPS)
-        y = (x - mean[None, :, None]) * inv[None, :, None]
-        return y * scale[None, :, None] + bias[None, :, None]
+        y = (x - mean[bcast]) * inv[bcast]
+        return y * scale[bcast] + bias[bcast]
 
 
 class Conv1dLayer(nn.Module):
@@ -236,6 +287,7 @@ class FiLM(nn.Module):
 
     cond_dim: int
     features: int
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
@@ -250,4 +302,6 @@ class FiLM(nn.Module):
             jnp.dot(cond, weight.T, precision=jax.lax.Precision.HIGHEST) + bias
         )  # [B, 2*features]
         r, b = jnp.split(film, 2, axis=-1)
+        if self.channels_last:
+            return r[:, None, :] * x + b[:, None, :]
         return r[:, :, None] * x + b[:, :, None]

@@ -20,11 +20,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import TCNConfig
-from .blocks import BatchNorm1d, FiLM, LEAKY_SLOPE, _torch_conv_init, conv1d
+from .blocks import BatchNorm1d, FiLM, LEAKY_SLOPE, _torch_conv_init, conv1d, conv1d_nhc
 
 
 class TCNBlock(nn.Module):
-    """One TCN block (reference ``architectures.py:177-234``)."""
+    """One TCN block (reference ``architectures.py:177-234``).
+
+    ``channels_last=True`` (the TPU-fast path) runs on ``[B, T, C]``
+    activations with the dilation folded into a second NHWC spatial axis
+    (see ``blocks.conv1d_nhc``); parameters are identical either way.
+    """
 
     in_ch: int
     out_ch: int
@@ -33,6 +38,7 @@ class TCNBlock(nn.Module):
     cond_dim: int
     causal: bool = False
     train: bool = False
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
@@ -41,15 +47,44 @@ class TCNBlock(nn.Module):
 
         k_init, _ = _torch_conv_init(self.in_ch, k)
         w1 = self.param("conv1_weight", k_init, (self.out_ch, self.in_ch, k))
-        # conv1: zero padding `pad_length` on both sides (torch Conv1d padding=pad)
-        h = conv1d(x, w1, None, dilation=d, padding=[(pad_length, pad_length)])
-        h = BatchNorm1d(self.out_ch, use_running_average=not self.train, name="bn")(h)
-        h = jax.nn.leaky_relu(h, LEAKY_SLOPE)
-        h = FiLM(self.cond_dim, self.out_ch, name="film")(h, cond)
-
-        # grouped 1x1 residual conv, groups=in_ch, no bias (architectures.py:216-220)
         rk_init, _ = _torch_conv_init(self.in_ch, 1, groups=self.in_ch)
         wr = self.param("res_weight", rk_init, (self.out_ch, 1, 1))
+        bn = BatchNorm1d(
+            self.out_ch,
+            use_running_average=not self.train,
+            channels_last=self.channels_last,
+            name="bn",
+        )
+        film = FiLM(
+            self.cond_dim, self.out_ch, channels_last=self.channels_last, name="film"
+        )
+
+        if self.channels_last:
+            # x: [B, T, C]; causal left-pad handled inside conv1d_nhc (same
+            # output as the reference's pad-both-then-trim-right)
+            h = conv1d_nhc(x, w1, None, dilation=d, causal=self.causal)
+            h = bn(h)
+            h = jax.nn.leaky_relu(h, LEAKY_SLOPE)
+            h = film(h, cond)
+            # grouped 1x1 residual (groups=in_ch): out channel o reads input
+            # channel o // (out_ch/in_ch) — a broadcast+scale, no conv/gather
+            if self.out_ch == self.in_ch:
+                x_res = x * wr[:, 0, 0][None, None, :]
+            else:
+                rep = self.out_ch // self.in_ch
+                bshape = x.shape[:-1] + (self.in_ch, rep)
+                x_res = jnp.broadcast_to(x[..., :, None], bshape).reshape(
+                    x.shape[:-1] + (self.out_ch,)
+                ) * wr[:, 0, 0][None, None, :]
+            return h + x_res
+
+        # conv1: zero padding `pad_length` on both sides (torch Conv1d padding=pad)
+        h = conv1d(x, w1, None, dilation=d, padding=[(pad_length, pad_length)])
+        h = bn(h)
+        h = jax.nn.leaky_relu(h, LEAKY_SLOPE)
+        h = film(h, cond)
+
+        # grouped 1x1 residual conv, groups=in_ch, no bias (architectures.py:216-220)
         x_res = conv1d(x, wr, None, groups=self.in_ch)
 
         if self.causal:
@@ -62,6 +97,9 @@ class MixFXcloner(nn.Module):
 
     config: TCNConfig = TCNConfig()
     train: bool = False
+    # run the stack on [B, T, C] activations with NHWC dilation folding —
+    # ~1.6x faster on TPU (one transpose in, one out); identical params/math
+    channels_last: bool = True
 
     @nn.compact
     def __call__(
@@ -71,7 +109,7 @@ class MixFXcloner(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.config
         per_block_cond = not isinstance(cond, jnp.ndarray)
-        h = x
+        h = jnp.swapaxes(x, -1, -2) if self.channels_last else x
         in_ch = cfg.ninputs
         for n in range(cfg.nblocks):
             out_ch = in_ch * cfg.channel_growth if cfg.channel_growth > 1 else cfg.channel_width
@@ -85,6 +123,7 @@ class MixFXcloner(nn.Module):
                 cond_dim=cfg.condition_dimension,
                 causal=cfg.causal,
                 train=self.train,
+                channels_last=self.channels_last,
                 name=f"block{n}",
             )(h, c)
             in_ch = out_ch
@@ -93,7 +132,11 @@ class MixFXcloner(nn.Module):
         k_init, b_init = _torch_conv_init(in_ch, 1)
         w = self.param("output_weight", k_init, (cfg.noutputs, in_ch, 1))
         b = self.param("output_bias", b_init, (cfg.noutputs,))
-        out = conv1d(h, w, b)
+        if self.channels_last:
+            out = jnp.dot(h, w[:, :, 0].T) + b[None, None, :]
+            out = jnp.swapaxes(out, -1, -2)
+        else:
+            out = conv1d(h, w, b)
         return jnp.clip(out, -1.0, 1.0)
 
 
