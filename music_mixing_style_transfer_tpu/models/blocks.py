@@ -206,6 +206,7 @@ class Conv1dLayer(nn.Module):
     norm: str = "batch"
     activation: str = "relu"
     train: bool = False
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -215,12 +216,33 @@ class Conv1dLayer(nn.Module):
         )
         bias = self.param("bias", b_init, (self.out_channels,)) if self.use_bias else None
 
-        if self.padding == "SAME":
-            x = same_reflect_pad(x, self.kernel_size, self.dilation)
-        x = conv1d(x, kernel, bias, stride=self.stride, dilation=self.dilation)
+        if self.channels_last:
+            # x: [B, T, C]
+            if self.padding == "SAME":
+                pad = (self.kernel_size - 1) * self.dilation
+                l = pad // 2
+                if pad:
+                    x = jnp.pad(x, ((0, 0), (l, pad - l), (0, 0)), mode="reflect")
+            wh = jnp.transpose(kernel, (2, 1, 0))  # [K, I, O]
+            dn = jax.lax.conv_dimension_numbers(x.shape, wh.shape, ("NHC", "HIO", "NHC"))
+            x = jax.lax.conv_general_dilated(
+                x, wh, (self.stride,), [(0, 0)], rhs_dilation=(self.dilation,),
+                dimension_numbers=dn, precision=_CONV_PRECISION,
+            )
+            if bias is not None:
+                x = x + bias[None, None, :]
+        else:
+            if self.padding == "SAME":
+                x = same_reflect_pad(x, self.kernel_size, self.dilation)
+            x = conv1d(x, kernel, bias, stride=self.stride, dilation=self.dilation)
 
         if self.norm == "batch":
-            x = BatchNorm1d(self.out_channels, use_running_average=not self.train, name="bn")(x)
+            x = BatchNorm1d(
+                self.out_channels,
+                use_running_average=not self.train,
+                channels_last=self.channels_last,
+                name="bn",
+            )(x)
 
         if self.activation == "relu":
             x = jax.nn.relu(x)
@@ -247,6 +269,7 @@ class ResConvBlock(nn.Module):
     activation: str = "relu"
     last_activation: str = "relu"
     train: bool = False
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -260,6 +283,7 @@ class ResConvBlock(nn.Module):
             norm=self.norm,
             activation=self.activation,
             train=self.train,
+            channels_last=self.channels_last,
             name="conv1",
         )(x)
         c1 = c1 + x
@@ -274,6 +298,7 @@ class ResConvBlock(nn.Module):
             norm=self.norm,
             activation=self.last_activation,
             train=self.train,
+            channels_last=self.channels_last,
             name="conv2",
         )(c1)
 

@@ -21,10 +21,15 @@ from .blocks import ResConvBlock, Conv1dLayer
 class FXencoder(nn.Module):
     config: FXencoderConfig = FXencoderConfig()
     train: bool = False
+    # run the stack on [B, T, C] activations (one transpose at input; the
+    # global average pool absorbs the output transpose); identical params
+    channels_last: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
+        if self.channels_last:
+            x = jnp.swapaxes(x, -1, -2)
         channels = (cfg.in_channels,) + tuple(cfg.channels)
         for i, (k, s, d) in enumerate(zip(cfg.kernels, cfg.strides, cfg.dilation)):
             if cfg.conv_block == "res":
@@ -40,6 +45,7 @@ class FXencoder(nn.Module):
                     activation=cfg.activation,
                     last_activation=cfg.activation,
                     train=self.train,
+                    channels_last=self.channels_last,
                     name=f"block{i}",
                 )(x)
             else:
@@ -54,7 +60,8 @@ class FXencoder(nn.Module):
                     norm=cfg.norm,
                     activation=cfg.activation,
                     train=self.train,
+                    channels_last=self.channels_last,
                     name=f"block{i}",
                 )(x)
         # global average pool over time (AdaptiveAvgPool1d(1), architectures.py:62-70)
-        return jnp.mean(x, axis=-1)
+        return jnp.mean(x, axis=-2 if self.channels_last else -1)

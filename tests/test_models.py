@@ -162,3 +162,24 @@ def test_fast_init_is_stable(rng):
     x = jnp.asarray((rng.standard_normal((2, 2, 4096)) * 0.3).astype(np.float32))
     out = np.asarray(enc.apply(v, x))
     assert np.isfinite(out).all()
+
+
+def test_tcn_channels_last_matches_nch(rng):
+    """The NHWC-folded channels-last path (TPU-fast) and the NCH path are
+    the same function of the same params, including causal and non-divisible
+    segment lengths."""
+    for causal, T in [(False, 10000), (True, 10000), (False, 4096)]:
+        cfg = TCNConfig(
+            condition_dimension=32, nblocks=5, channel_width=16, kernel_size=15,
+            causal=causal,
+        )
+        nch = MixFXcloner(config=cfg, channels_last=False)
+        nhc = MixFXcloner(config=cfg, channels_last=True)
+        v = nch.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2, 4096)), jnp.zeros((1, 32))
+        )
+        x = jnp.asarray((rng.standard_normal((2, 2, T)) * 0.1).astype(np.float32))
+        c = jnp.asarray(rng.standard_normal((2, 32)).astype(np.float32))
+        a = nch.apply(v, x, c)
+        b = nhc.apply(v, x, c)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
