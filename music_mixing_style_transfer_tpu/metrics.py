@@ -72,6 +72,45 @@ def _stft_mag(x: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
 # ===========================================================================
 # loudness
 # ===========================================================================
+def integrated_loudness_np(x: np.ndarray, sr: int = 44100) -> float:
+    """Host-side BS.1770-4 integrated loudness (numpy/scipy).
+
+    Same algorithm as ``ops.loudness.integrated_loudness`` (K-weighting
+    biquads, 400 ms blocks @ 75% overlap, -70 LUFS absolute + relative
+    gating), but without jit: metrics run on arbitrary file lengths and a
+    per-length XLA compile is minutes of waste. ``x [T]`` or ``[T, C]``."""
+    from .ops.loudness import k_weighting_coeffs
+
+    if x.ndim == 1:
+        x = x[:, None]
+    (sc, _), (hc, _) = k_weighting_coeffs(sr)
+    y = np.asarray(x, np.float64).T  # [C, T]
+    for c in (np.asarray(sc, np.float64), np.asarray(hc, np.float64)):
+        y = scipy.signal.lfilter([c[0], c[1], c[2]], [1.0, c[3], c[4]], y, axis=-1)
+    C = y.shape[0]
+    G = np.array([1.0, 1.0, 1.0, 1.41, 1.41])[:C]
+    block, hop = int(0.4 * sr), int(0.4 * sr * 0.25)
+    num_blocks = int(round((x.shape[0] / sr - 0.4) / 0.1)) + 1
+    if num_blocks <= 0:
+        return -np.inf
+    usable = hop * (num_blocks - 1) + block
+    if usable > y.shape[-1]:
+        y = np.pad(y, ((0, 0), (0, usable - y.shape[-1])))
+    idx = np.arange(num_blocks)[:, None] * hop + np.arange(block)[None, :]
+    z = np.mean(y[:, idx] ** 2, axis=-1)  # [C, J]
+    l_j = -0.691 + 10 * np.log10(np.maximum((G[:, None] * z).sum(axis=0), 1e-30))
+    mask = l_j > -70.0
+    if not mask.any():
+        return -np.inf
+    z_avg = (z * mask).sum(axis=1) / mask.sum()
+    gamma_r = -0.691 + 10 * np.log10(np.maximum((G * z_avg).sum(), 1e-30)) - 10.0
+    mask &= l_j > gamma_r
+    if not mask.any():
+        return -np.inf
+    z_avg = (z * mask).sum(axis=1) / mask.sum()
+    return float(-0.691 + 10 * np.log10(np.maximum((G * z_avg).sum(), 1e-30)))
+
+
 def compute_loudness_features(
     audio_out: np.ndarray, audio_tar: np.ndarray, sr: int = 44100
 ) -> Dict[str, List[float]]:
@@ -79,8 +118,8 @@ def compute_loudness_features(
     (reference :483-507)."""
     peak_tar_db = 20 * np.log10(np.max(np.abs(audio_tar)) + 1e-30)
     peak_out_db = 20 * np.log10(np.max(np.abs(audio_out)) + 1e-30)
-    loud_tar = float(integrated_loudness(jnp.asarray(audio_tar), sr))
-    loud_out = float(integrated_loudness(jnp.asarray(audio_out), sr))
+    loud_tar = integrated_loudness_np(audio_tar, sr)
+    loud_out = integrated_loudness_np(audio_out, sr)
     return {
         "d_lufs": [mape([loud_tar], [loud_out])],
         "d_peak": [mape([peak_tar_db], [peak_out_db])],

@@ -129,7 +129,10 @@ def init_contrastive(
 ) -> Tuple[FXencoder, TrainState, optax.GradientTransformation]:
     cfg = config or FXencoderConfig()
     tcfg = train_cfg or TrainConfig()
-    encoder = FXencoder(config=cfg, train=True)
+    # NCH for training: the channels-last layout wins at inference, but the
+    # strided-conv *backward* lowers poorly in NHC on TPU (measured ~100x
+    # slower) — gradients want the NCH lowering
+    encoder = FXencoder(config=cfg, train=True, channels_last=False)
     variables = encoder.init(
         jax.random.PRNGKey(seed), jnp.zeros((2, cfg.in_channels, example_length))
     )

@@ -120,7 +120,10 @@ def init_converter(
 ) -> Tuple[MixFXcloner, TrainState, optax.GradientTransformation]:
     cfg = config or TCNConfig()
     tcfg = train_cfg or TrainConfig()
-    converter = MixFXcloner(config=cfg, train=True)
+    # NCH for training: the folded-NHWC conv backward materializes padded
+    # copies per block (OOM at production triplet shapes); the NCH backward
+    # is the proven-fit path. Inference defaults to channels-last.
+    converter = MixFXcloner(config=cfg, train=True, channels_last=False)
     variables = converter.init(
         jax.random.PRNGKey(seed),
         jnp.zeros((2, cfg.ninputs, example_length)),
