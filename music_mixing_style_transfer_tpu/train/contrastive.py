@@ -129,9 +129,9 @@ def init_contrastive(
 ) -> Tuple[FXencoder, TrainState, optax.GradientTransformation]:
     cfg = config or FXencoderConfig()
     tcfg = train_cfg or TrainConfig()
-    # NCH for training: the channels-last layout wins at inference, but the
-    # strided-conv *backward* lowers poorly in NHC on TPU (measured ~100x
-    # slower) — gradients want the NCH lowering
+    # NCH for training: channels-last wins at inference but is a wash for
+    # the training step (measured 65 vs 64 ms at production shapes) — keep
+    # the layout both train steps are proven on
     encoder = FXencoder(config=cfg, train=True, channels_last=False)
     variables = encoder.init(
         jax.random.PRNGKey(seed), jnp.zeros((2, cfg.in_channels, example_length))

@@ -121,8 +121,9 @@ def init_converter(
     cfg = config or TCNConfig()
     tcfg = train_cfg or TrainConfig()
     # NCH for training: the folded-NHWC conv backward materializes padded
-    # copies per block (OOM at production triplet shapes); the NCH backward
-    # is the proven-fit path. Inference defaults to channels-last.
+    # copies per block — RESOURCE_EXHAUSTED at production triplet shapes
+    # (8 x 3 s, measured); the NCH backward fits at 668 ms/step. Inference
+    # defaults to channels-last.
     converter = MixFXcloner(config=cfg, train=True, channels_last=False)
     variables = converter.init(
         jax.random.PRNGKey(seed),
