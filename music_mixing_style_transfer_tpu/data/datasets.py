@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fx import make_instrument_manipulators
+from .native_loader import open_wav_bank
 from .wavio import read_wav, wav_length, write_wav
 
 PAD_B4_MANIPULATION = 2048  # reference data_loader.py:127
@@ -42,7 +43,12 @@ def _bucket_length(n: int, quantum: int = 4096) -> int:
 
 class _MUSDBFiles:
     """Per-instrument file lists with duration-ratio sampling weights
-    (reference ``data_loader.py:135-146``)."""
+    (reference ``data_loader.py:135-146``).
+
+    Segment IO goes through the native C++ wav bank (``cpp/mstio.cc``:
+    header parse once, pread + thread pool per batch) when the library is
+    available, with a pure-Python ``wavio`` fallback — outputs are identical
+    (tests/test_native.py)."""
 
     def __init__(
         self,
@@ -50,10 +56,12 @@ class _MUSDBFiles:
         instruments: Sequence[str],
         use_normalized: bool = True,
         normalization_order: str = "eqcompimagegain",
+        use_native: bool = True,
     ):
         self.paths: Dict[str, List[str]] = {}
         self.weights: Dict[str, np.ndarray] = {}
         self.lengths: Dict[str, List[int]] = {}
+        self.banks: Dict[str, object] = {}
         for inst in instruments:
             if use_normalized:
                 pattern = f"{data_dir}/{inst}_normalized_{normalization_order}_silence_trimmed*.wav"
@@ -62,23 +70,33 @@ class _MUSDBFiles:
             paths = sorted(globlib.glob(pattern))
             if not paths:
                 raise FileNotFoundError(f"no files match {pattern}")
-            lengths = [wav_length(p) for p in paths]
+            bank = open_wav_bank(paths) if use_native else None
+            lengths = bank.frames if bank is not None else [wav_length(p) for p in paths]
             total = sum(lengths)
             self.paths[inst] = paths
-            self.lengths[inst] = lengths
+            self.lengths[inst] = list(lengths)
             self.weights[inst] = np.asarray(lengths, np.float64) / total
+            if bank is not None:
+                self.banks[inst] = bank
 
     def sample_segments(
         self, rng: np.random.Generator, inst: str, n: int, duration: int
     ) -> np.ndarray:
         """Load ``n`` random segments ``[n, 2, duration]`` (length-weighted
         file choice, random start)."""
-        out = np.zeros((n, 2, duration), np.float32)
         idxs = rng.choice(len(self.paths[inst]), size=n, p=self.weights[inst])
-        for i, fi in enumerate(idxs):
+        starts = [
+            int(rng.integers(0, max(self.lengths[inst][fi] - duration, 1)))
+            if self.lengths[inst][fi] > duration
+            else 0
+            for fi in idxs
+        ]
+        bank = self.banks.get(inst)
+        if bank is not None:
+            return bank.read_segments(idxs, starts, duration)
+        out = np.zeros((n, 2, duration), np.float32)
+        for i, (fi, start) in enumerate(zip(idxs, starts)):
             path = self.paths[inst][fi]
-            last = self.lengths[inst][fi] - duration
-            start = int(rng.integers(0, max(last, 1))) if last > 0 else 0
             seg, _ = read_wav(path, start=start, duration=min(duration, self.lengths[inst][fi]))
             seg = seg.T[:2] if seg.shape[1] >= 2 else np.repeat(seg.T, 2, 0)
             out[i, :, : seg.shape[-1]] = seg  # zero-pad files shorter than duration

@@ -24,6 +24,17 @@ _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
 
 
+def _stale() -> bool:
+    """True if the library is missing or older than any C++ source."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    for name in os.listdir(_CPP_DIR):
+        if name.endswith(".cc") and os.path.getmtime(os.path.join(_CPP_DIR, name)) > lib_mtime:
+            return True
+    return False
+
+
 def _build() -> bool:
     try:
         subprocess.run(
@@ -41,7 +52,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
     if _load_failed:
         return None
-    if not os.path.exists(_LIB_PATH) and not _build():
+    if _stale() and not _build() and not os.path.exists(_LIB_PATH):
         _load_failed = True
         return None
     try:
@@ -74,6 +85,29 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
     ]
+    if hasattr(lib, "mst_wavbank_create"):  # io surface (cpp/mstio.cc)
+        lib.mst_wavbank_create.restype = ctypes.c_void_p
+        lib.mst_wavbank_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+        ]
+        for name, res in [
+            ("mst_wavbank_ok", ctypes.c_int32),
+            ("mst_wavbank_rate", ctypes.c_int32),
+            ("mst_wavbank_channels", ctypes.c_int32),
+            ("mst_wavbank_frames", ctypes.c_int64),
+        ]:
+            fn = getattr(lib, name)
+            fn.restype = res
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.mst_wavbank_read_segments.restype = ctypes.c_int64
+        lib.mst_wavbank_read_segments.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ]
+        lib.mst_wavbank_destroy.restype = None
+        lib.mst_wavbank_destroy.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
 

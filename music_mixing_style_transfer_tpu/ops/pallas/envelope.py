@@ -94,16 +94,16 @@ def _envelope_pallas_packed(
         in_specs=[
             pl.BlockSpec(
                 (1, 4, SUBLANES, LANES), lambda i, j: (i, 0, 0, 0),
-                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, time_chunk, SUBLANES, LANES), lambda i, j: (i, j, 0, 0),
-                memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+                memory_space=pl.ANY if interpret else pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, time_chunk, SUBLANES, LANES), lambda i, j: (i, j, 0, 0),
-            memory_space=pltpu.ANY if interpret else pltpu.VMEM,
+            memory_space=pl.ANY if interpret else pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
         scratch_shapes=[pltpu.VMEM((SUBLANES, LANES), jnp.float32)],
