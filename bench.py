@@ -22,7 +22,7 @@ import numpy as np
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=8, help="segments per forward")
+    p.add_argument("--batch", type=int, default=16, help="segments per forward")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--seconds", type=float, default=None, help="ignored; for compat")
