@@ -164,11 +164,18 @@ class BatchNorm1d(nn.Module):
     channels_last: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: Optional[jnp.ndarray], fold: bool = False):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(self.features))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(self.features))
+
+        if fold:
+            # eval-mode BN is a per-channel affine y = x*s + t; return (s, t)
+            # so callers can fold it into an adjacent conv / fused kernel
+            assert self.use_running_average, "fold() is eval-only"
+            s = scale * jax.lax.rsqrt(ra_var.value + BN_EPS)
+            return s, bias - ra_mean.value * s
 
         reduce_axes = (0, 1) if self.channels_last else (0, 2)
         bcast = (None, None, slice(None)) if self.channels_last else (None, slice(None), None)
@@ -315,7 +322,7 @@ class FiLM(nn.Module):
     channels_last: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: Optional[jnp.ndarray], cond: jnp.ndarray, rb: bool = False):
         def w_init(key, shape, dtype=jnp.float32):
             bound = 1.0 / math.sqrt(self.cond_dim)
             return jax.random.uniform(key, shape, dtype, -bound, bound)
@@ -327,6 +334,8 @@ class FiLM(nn.Module):
             jnp.dot(cond, weight.T, precision=jax.lax.Precision.HIGHEST) + bias
         )  # [B, 2*features]
         r, b = jnp.split(film, 2, axis=-1)
+        if rb:
+            return r, b  # for fused kernels that apply FiLM in-epilogue
         if self.channels_last:
             return r[:, None, :] * x + b[:, None, :]
         return r[:, :, None] * x + b[:, :, None]

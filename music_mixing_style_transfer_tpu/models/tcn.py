@@ -39,6 +39,20 @@ class TCNBlock(nn.Module):
     causal: bool = False
     train: bool = False
     channels_last: bool = False
+    fused: str = "auto"  # "auto" | "on" | "off": fused Pallas block kernel
+
+    def _use_fused(self, T: int) -> bool:
+        from ..ops.pallas.tcn_block import fused_block_applicable
+
+        if self.fused == "off" or self.train or not self.channels_last:
+            return False
+        if self.causal or self.kernel_size != 15 or self.in_ch != self.out_ch:
+            return False
+        if not fused_block_applicable(self.out_ch, self.dilation, T):
+            return False
+        if self.fused == "on":
+            return True
+        return jax.default_backend() == "tpu"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
@@ -58,6 +72,24 @@ class TCNBlock(nn.Module):
         film = FiLM(
             self.cond_dim, self.out_ch, channels_last=self.channels_last, name="film"
         )
+
+        if self.channels_last and self._use_fused(x.shape[1]):
+            # one fused HBM pass: conv + BN affine + lrelu + FiLM + residual
+            from ..ops.pallas.tcn_block import fused_tcn_block
+
+            s, t = bn(None, fold=True)
+            r, b = film(None, cond, rb=True)
+            return fused_tcn_block(
+                x,
+                jnp.transpose(w1, (2, 1, 0)),
+                s,
+                t,
+                r,
+                b,
+                wr[:, 0, 0],
+                d=d,
+                interpret=self.fused == "on" and jax.default_backend() != "tpu",
+            )
 
         if self.channels_last:
             # x: [B, T, C]; causal left-pad handled inside conv1d_nhc (same
@@ -100,6 +132,9 @@ class MixFXcloner(nn.Module):
     # run the stack on [B, T, C] activations with NHWC dilation folding —
     # ~1.6x faster on TPU (one transpose in, one out); identical params/math
     channels_last: bool = True
+    # fused Pallas block kernel for dilations >= 8 at inference ("auto"
+    # enables it on TPU backends; "on" forces it, interpreted off-TPU)
+    fused: str = "auto"
 
     @nn.compact
     def __call__(
@@ -124,6 +159,7 @@ class MixFXcloner(nn.Module):
                 causal=cfg.causal,
                 train=self.train,
                 channels_last=self.channels_last,
+                fused=self.fused,
                 name=f"block{n}",
             )(h, c)
             in_ch = out_ch
