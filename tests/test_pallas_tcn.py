@@ -93,3 +93,20 @@ def test_mixfxcloner_auto_is_xla_on_cpu(rng):
     a = np.asarray(off.apply(cv, x, cond))
     b = np.asarray(auto.apply(cv, x, cond))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("d", [8, 1024])
+def test_fused_block_non_pow2_length(rng, d):
+    """Lengths like 3*2^n (segment+halo paths) exercise the Ht divisor
+    search; results must still match the reference conv."""
+    B, T = 1, 3 * 2**12
+    x = jnp.asarray(rng.standard_normal((B, T, C)) * 0.3, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, C, C)) * 0.05, jnp.float32)
+    s = jnp.ones(C, jnp.float32)
+    t = jnp.zeros(C, jnp.float32)
+    r = jnp.ones((B, C), jnp.float32)
+    b = jnp.zeros((B, C), jnp.float32)
+    wr = jnp.asarray(rng.standard_normal(C) * 0.3, jnp.float32)
+    got = np.asarray(fused_tcn_block(x, w, s, t, r, b, wr, d=d, interpret=True))
+    want = np.asarray(_reference(x, w, s, t, r, b, wr, d))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
