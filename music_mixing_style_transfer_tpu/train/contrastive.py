@@ -35,23 +35,36 @@ def contrastive_loss_fn(
     batch_b: jnp.ndarray,
     temperature: float,
     axis_name: Optional[str] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[jnp.ndarray, Any]:
     """NT-Xent loss over stacked per-instrument views.
 
     ``batch_a/b``: ``[n_inst, B_local, 2, T]`` — the same instruments'
     A and B views; losses are summed over instruments (reference trains all
-    four stems jointly).
+    four stems jointly). With ``compute_dtype=bfloat16`` the encoder
+    forward/backward runs in bf16; the NT-Xent similarities are always
+    computed on f32-cast embeddings.
     """
+    from .converter import _cast_floats
+
     n_inst, B = batch_a.shape[0], batch_a.shape[1]
     xa = batch_a.reshape((n_inst * B,) + batch_a.shape[2:])
     xb = batch_b.reshape((n_inst * B,) + batch_b.shape[2:])
     x = jnp.concatenate([xa, xb], axis=0)
 
+    mixed = compute_dtype != jnp.float32
+    if mixed:
+        params = _cast_floats(params, compute_dtype)
+        batch_stats = _cast_floats(batch_stats, compute_dtype)
+        x = x.astype(compute_dtype)
     out, updates = encoder.apply(
         {"params": params, "batch_stats": batch_stats},
         x,
         mutable=["batch_stats"],
     )
+    out = out.astype(jnp.float32)
+    if mixed:
+        updates = _cast_floats(updates, jnp.float32)
     za, zb = jnp.split(out, 2, axis=0)
     za = za.reshape(n_inst, B, -1)
     zb = zb.reshape(n_inst, B, -1)
@@ -67,15 +80,17 @@ def make_contrastive_train_step(
     tx: optax.GradientTransformation,
     temperature: float = 0.1,
     axis_name: Optional[str] = None,
+    compute_dtype: str = "float32",
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], Tuple[TrainState, jnp.ndarray]]:
     """Build the (shardable) SGD step. When ``axis_name`` is given the step
     must run inside shard_map/pjit over that mesh axis."""
+    cdtype = jnp.dtype(compute_dtype)
 
     def step(state: TrainState, batch_a, batch_b):
         def loss_fn(params):
             return contrastive_loss_fn(
                 encoder, params, state.batch_stats, batch_a, batch_b,
-                temperature, axis_name,
+                temperature, axis_name, cdtype,
             )
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -105,12 +120,15 @@ def make_sharded_contrastive_step(
     mesh: Mesh,
     temperature: float = 0.1,
     axis: str = "data",
+    compute_dtype: str = "float32",
 ):
     """shard_map the train step over the mesh: batch sharded on ``axis``,
     state replicated. Returns a jitted function
     ``(state, batch_a [n_inst, B_global, 2, T], batch_b) -> (state, loss)``.
     """
-    step = make_contrastive_train_step(encoder, tx, temperature, axis_name=axis)
+    step = make_contrastive_train_step(
+        encoder, tx, temperature, axis_name=axis, compute_dtype=compute_dtype
+    )
 
     sharded = jax.shard_map(
         step,

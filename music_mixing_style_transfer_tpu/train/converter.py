@@ -23,6 +23,16 @@ from ..models import FXencoder, MixFXcloner
 from .state import TrainState, create_train_state, make_optimizer
 
 
+def _cast_floats(tree, dtype):
+    """Cast floating leaves to ``dtype`` (mixed-precision compute)."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
+
+
 def converter_loss_fn(
     converter: MixFXcloner,
     encoder: FXencoder,
@@ -33,8 +43,19 @@ def converter_loss_fn(
     a2: jnp.ndarray,
     b2: jnp.ndarray,
     rms_weight: float = 0.1,
+    compute_dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[jnp.ndarray, Any]:
-    """``a1/a2/b2``: ``[B_local, 2, T]`` stacked across instruments upstream."""
+    """``a1/a2/b2``: ``[B_local, 2, T]`` stacked across instruments upstream.
+
+    With ``compute_dtype=bfloat16`` the model forward/backward runs on the
+    MXU's fast bf16 passes; params, batch stats, and the spectral losses
+    stay float32 (losses always computed on f32-cast predictions)."""
+    mixed = compute_dtype != jnp.float32
+    if mixed:
+        params = _cast_floats(params, compute_dtype)
+        batch_stats = _cast_floats(batch_stats, compute_dtype)
+        enc_vars = _cast_floats(enc_vars, compute_dtype)
+        a1, b2 = a1.astype(compute_dtype), b2.astype(compute_dtype)
     emb = jax.lax.stop_gradient(encoder.apply(enc_vars, b2))
     pred, updates = converter.apply(
         {"params": params, "batch_stats": batch_stats},
@@ -42,8 +63,12 @@ def converter_loss_fn(
         emb,
         mutable=["batch_stats"],
     )
+    pred = pred.astype(jnp.float32)
+    new_stats = updates["batch_stats"]
+    if mixed:
+        new_stats = _cast_floats(new_stats, jnp.float32)
     loss = multiscale_spectral_midside(pred, a2) + rms_weight * rms_loss(pred, a2)
-    return loss, updates["batch_stats"]
+    return loss, new_stats
 
 
 def make_converter_train_step(
@@ -52,6 +77,7 @@ def make_converter_train_step(
     tx: optax.GradientTransformation,
     rms_weight: float = 0.1,
     axis_name: Optional[str] = None,
+    compute_dtype: str = "float32",
 ) -> Callable:
     """Returns ``step(state, enc_vars, a1, a2, b2)``.
 
@@ -59,12 +85,13 @@ def make_converter_train_step(
     inline all 81M params as HLO *constants* (a 650MB program that remote
     compilation rejects and that bloats every executable).
     """
+    cdtype = jnp.dtype(compute_dtype)
 
     def step(state: TrainState, enc_vars_arg, a1, a2, b2):
         def loss_fn(params):
             return converter_loss_fn(
                 converter, encoder, params, state.batch_stats, enc_vars_arg,
-                a1, a2, b2, rms_weight,
+                a1, a2, b2, rms_weight, cdtype,
             )
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -94,10 +121,12 @@ def make_sharded_converter_step(
     mesh: Mesh,
     rms_weight: float = 0.1,
     axis: str = "data",
+    compute_dtype: str = "float32",
 ):
     """Returns jitted ``step(state, enc_vars, a1, a2, b2)`` over the mesh."""
     step = make_converter_train_step(
-        converter, encoder, tx, rms_weight, axis_name=axis
+        converter, encoder, tx, rms_weight, axis_name=axis,
+        compute_dtype=compute_dtype,
     )
     sharded = jax.shard_map(
         step,

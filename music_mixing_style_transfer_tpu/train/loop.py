@@ -74,10 +74,16 @@ def train_fxencoder(
 
     mesh = create_mesh() if use_mesh and len(jax.devices()) > 1 else None
     if mesh is not None:
-        step_fn = make_sharded_contrastive_step(enc, tx, mesh, tcfg.temperature)
+        step_fn = make_sharded_contrastive_step(
+            enc, tx, mesh, tcfg.temperature, compute_dtype=tcfg.compute_dtype
+        )
         log.info("training on %d-device mesh", mesh.devices.size)
     else:
-        step_fn = jax.jit(make_contrastive_train_step(enc, tx, tcfg.temperature))
+        step_fn = jax.jit(
+            make_contrastive_train_step(
+                enc, tx, tcfg.temperature, compute_dtype=tcfg.compute_dtype
+            )
+        )
 
     mgr = CheckpointManager(os.path.join(out_dir, "ckpt"), keep=keep_ckpts)
     start_epoch = 0
@@ -159,9 +165,13 @@ def train_converter(
 
     mesh = create_mesh() if use_mesh and len(jax.devices()) > 1 else None
     if mesh is not None:
-        step_fn = make_sharded_converter_step(conv, enc_model, tx, mesh)
+        step_fn = make_sharded_converter_step(
+            conv, enc_model, tx, mesh, compute_dtype=tcfg.compute_dtype
+        )
     else:
-        step_fn = jax.jit(make_converter_train_step(conv, enc_model, tx))
+        step_fn = jax.jit(
+            make_converter_train_step(conv, enc_model, tx, compute_dtype=tcfg.compute_dtype)
+        )
 
     mgr = CheckpointManager(os.path.join(out_dir, "ckpt_conv"), keep=keep_ckpts)
     start_epoch = 0

@@ -127,3 +127,46 @@ def test_checkpoint_retention(tmp_path):
         mgr.restore(state, step=1)  # pruned
     restored = mgr.restore(state, step=2)
     assert restored is not None
+
+
+def test_mixed_precision_steps_keep_f32_state(rng):
+    """compute_dtype=bfloat16: model fwd/bwd in bf16; params, batch stats,
+    optimizer state, and loss stay float32; loss close to the f32 step's."""
+    enc, state, tx = init_contrastive(SMALL_ENC, example_length=T)
+    a = jnp.asarray(rng.standard_normal((2, 4, 2, T)).astype(np.float32) * 0.2)
+    b = a + 0.01 * jnp.asarray(rng.standard_normal((2, 4, 2, T)).astype(np.float32))
+    step32 = jax.jit(make_contrastive_train_step(enc, tx, 0.1))
+    step16 = jax.jit(make_contrastive_train_step(enc, tx, 0.1, compute_dtype="bfloat16"))
+    _, l32 = step32(state, a, b)
+    s16, l16 = step16(state, a, b)
+    assert l16.dtype == jnp.float32
+    assert abs(float(l32) - float(l16)) < 0.05 * max(abs(float(l32)), 1.0)
+    for leaf in jax.tree.leaves(s16.params) + jax.tree.leaves(s16.batch_stats):
+        assert leaf.dtype == jnp.float32
+
+    enc_model = FXencoder(config=SMALL_ENC)
+    enc_vars = enc_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, T)))
+    conv, cstate, ctx = init_converter(SMALL_TCN, example_length=T)
+    cstep = jax.jit(
+        make_converter_train_step(conv, enc_model, ctx, compute_dtype="bfloat16")
+    )
+    a1 = jnp.asarray(rng.standard_normal((2, 2, T)).astype(np.float32) * 0.2)
+    a2 = jnp.asarray(rng.standard_normal((2, 2, T)).astype(np.float32) * 0.2)
+    b2 = jnp.asarray(rng.standard_normal((2, 2, T)).astype(np.float32) * 0.2)
+    cstate, closs = cstep(cstate, enc_vars, a1, a2, b2)
+    assert closs.dtype == jnp.float32 and np.isfinite(float(closs))
+    for leaf in jax.tree.leaves(cstate.params) + jax.tree.leaves(cstate.batch_stats):
+        assert leaf.dtype == jnp.float32
+
+
+def test_sharded_mixed_precision_matches_single_device(rng):
+    """bf16 sharded step == bf16 single-device step on the same global batch."""
+    enc, state, tx = init_contrastive(SMALL_ENC, example_length=T)
+    a = jnp.asarray(rng.standard_normal((2, 8, 2, T)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal((2, 8, 2, T)).astype(np.float32) * 0.2)
+    mesh = create_mesh(4)
+    sh = make_sharded_contrastive_step(enc, tx, mesh, 0.1, compute_dtype="bfloat16")
+    single = jax.jit(make_contrastive_train_step(enc, tx, 0.1, compute_dtype="bfloat16"))
+    s_sh, l_sh = sh(state, a, b)
+    s_si, l_si = single(state, a, b)
+    assert abs(float(l_sh) - float(l_si)) < 2e-2
