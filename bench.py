@@ -30,7 +30,9 @@ def main() -> int:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from music_mixing_style_transfer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from music_mixing_style_transfer_tpu.config import FXencoderConfig, TCNConfig

@@ -17,6 +17,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from music_mixing_style_transfer_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
 from music_mixing_style_transfer_tpu.config import InferenceConfig, NormalizationConfig
 from music_mixing_style_transfer_tpu.data import write_wav
 from music_mixing_style_transfer_tpu.infer import MixingStyleTransfer, StyleTransferEngine

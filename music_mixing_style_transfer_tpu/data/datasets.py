@@ -57,6 +57,7 @@ class _MUSDBFiles:
         use_normalized: bool = True,
         normalization_order: str = "eqcompimagegain",
         use_native: bool = True,
+        sample_rate: int = 44100,
     ):
         self.paths: Dict[str, List[str]] = {}
         self.weights: Dict[str, np.ndarray] = {}
@@ -71,6 +72,11 @@ class _MUSDBFiles:
             if not paths:
                 raise FileNotFoundError(f"no files match {pattern}")
             bank = open_wav_bank(paths) if use_native else None
+            if bank is not None and sample_rate is not None:
+                # same contract as the wavio fallback, which raises per-read
+                for p, rate in zip(paths, bank.rates):
+                    if rate != sample_rate:
+                        raise ValueError(f"{p}: sample rate {rate} != expected {sample_rate}")
             lengths = bank.frames if bank is not None else [wav_length(p) for p in paths]
             total = sum(lengths)
             self.paths[inst] = paths
@@ -124,7 +130,8 @@ class ContrastivePairDataset:
         pad_b4_manipulation: bool = True,
     ):
         self.files = _MUSDBFiles(
-            os.path.join(data_dir, mode), instruments, use_normalized, normalization_order
+            os.path.join(data_dir, mode), instruments, use_normalized,
+            normalization_order, sample_rate=sample_rate,
         )
         self.mode = mode
         self.instruments = tuple(instruments)
@@ -335,7 +342,8 @@ class StyleTransferTripletDataset:
         pad_b4_manipulation: bool = True,
     ):
         self.files = _MUSDBFiles(
-            os.path.join(data_dir, mode), instruments, use_normalized, normalization_order
+            os.path.join(data_dir, mode), instruments, use_normalized,
+            normalization_order, sample_rate=sample_rate,
         )
         self.mode = mode
         self.instruments = tuple(instruments)

@@ -52,10 +52,18 @@ class WavBank:
         duration: int,
         n_threads: int = 0,
     ) -> np.ndarray:
+        if self._handle is None:
+            raise ValueError("WavBank is closed")
         fi = np.ascontiguousarray(file_idx, np.int64)
         st = np.ascontiguousarray(starts, np.int64)
         if fi.shape != st.shape or fi.ndim != 1:
             raise ValueError("file_idx and starts must be equal-length 1-D")
+        if duration <= 0:
+            raise ValueError(f"duration must be positive, got {duration}")
+        if fi.size and (fi.min() < 0 or fi.max() >= len(self._paths)):
+            raise IndexError(f"file index out of range [0, {len(self._paths)})")
+        if fi.size and st.min() < 0:
+            raise ValueError("segment starts must be non-negative")
         out = np.empty((fi.shape[0], 2, duration), np.float32)
         n_ok = self._lib.mst_wavbank_read_segments(
             self._handle,
@@ -67,8 +75,27 @@ class WavBank:
             int(n_threads),
         )
         if n_ok != fi.shape[0]:
-            bad = [self._paths[i] for i in set(int(x) for x in fi) if not self.ok[i]]
-            raise IOError(f"native wav bank failed on {fi.shape[0] - n_ok} segments; unparseable files: {bad}")
+            # identify the failing files with single-segment retries (error
+            # path only — e.g. a file truncated/unlinked after bank creation)
+            bad = sorted(
+                {
+                    self._paths[int(f)]
+                    for f, s in zip(fi, st)
+                    if self._lib.mst_wavbank_read_segments(
+                        self._handle,
+                        np.asarray([f], np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                        np.asarray([s], np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                        1, duration,
+                        np.empty((1, 2, duration), np.float32).ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        1,
+                    )
+                    != 1
+                }
+            )
+            raise IOError(
+                f"native wav bank failed on {fi.shape[0] - n_ok} of {fi.shape[0]} "
+                f"segments; failing files: {bad or 'transient (retry succeeded)'}"
+            )
         return out
 
     def close(self) -> None:

@@ -36,7 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from music_mixing_style_transfer_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     output_dir = args.output_dir or args.target_dir
 

@@ -118,7 +118,8 @@ def config_from_args(args) -> InferenceConfig:
 def main(argv=None) -> int:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from music_mixing_style_transfer_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
 

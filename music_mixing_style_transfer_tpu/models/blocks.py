@@ -181,19 +181,34 @@ class BatchNorm1d(nn.Module):
         bcast = (None, None, slice(None)) if self.channels_last else (None, slice(None), None)
 
         if self.use_running_average:
+            # eval: follow the caller's dtypes (bf16 inference stays bf16)
             mean, var = ra_mean.value, ra_var.value
-        else:
-            mean = jnp.mean(x, axis=reduce_axes)
-            var = jnp.mean(jnp.square(x), axis=reduce_axes) - jnp.square(mean)
-            n = x.shape[reduce_axes[0]] * x.shape[reduce_axes[1]]
-            unbiased = var * (n / max(n - 1, 1))
-            if not self.is_initializing():
-                ra_mean.value = BN_MOMENTUM * ra_mean.value + (1 - BN_MOMENTUM) * mean
-                ra_var.value = BN_MOMENTUM * ra_var.value + (1 - BN_MOMENTUM) * unbiased
+            inv = jax.lax.rsqrt(var + BN_EPS)
+            y = (x - mean[bcast]) * inv[bcast]
+            return y * scale[bcast] + bias[bcast]
+
+        # train: statistics ALWAYS in f32 — in bf16 mixed precision the
+        # E[x^2]-E[x]^2 form catastrophically cancels (var can round to
+        # <= 0 -> NaN), and running stats must not quantize through bf16
+        xs = x.astype(jnp.float32)
+        mean = jnp.mean(xs, axis=reduce_axes)
+        var = jnp.mean(jnp.square(xs), axis=reduce_axes) - jnp.square(mean)
+        n = x.shape[reduce_axes[0]] * x.shape[reduce_axes[1]]
+        unbiased = var * (n / max(n - 1, 1))
+        if not self.is_initializing():
+            ra32 = ra_mean.value.astype(jnp.float32)
+            rv32 = ra_var.value.astype(jnp.float32)
+            ra_mean.value = (
+                BN_MOMENTUM * ra32 + (1 - BN_MOMENTUM) * mean
+            ).astype(ra_mean.value.dtype)
+            ra_var.value = (
+                BN_MOMENTUM * rv32 + (1 - BN_MOMENTUM) * unbiased
+            ).astype(ra_var.value.dtype)
 
         inv = jax.lax.rsqrt(var + BN_EPS)
-        y = (x - mean[bcast]) * inv[bcast]
-        return y * scale[bcast] + bias[bcast]
+        y = (xs - mean[bcast]) * inv[bcast]
+        y = y * scale.astype(jnp.float32)[bcast] + bias.astype(jnp.float32)[bcast]
+        return y.astype(x.dtype)
 
 
 class Conv1dLayer(nn.Module):

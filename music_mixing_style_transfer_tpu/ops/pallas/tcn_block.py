@@ -57,13 +57,19 @@ def _tile_params(d: int, T: int) -> Tuple[int, int, int, int]:
 
 def fused_block_applicable(channels: int, d: int, T: int) -> bool:
     """Shapes the kernel supports (others use the XLA path)."""
-    return (
+    if not (
         channels == 128
         and d >= 8
         and d % min(d, 64) == 0
         and T % d == 0
         and T // d >= 4
-    )
+    ):
+        return False
+    # with more than one tile per folded column, interior tiles read a
+    # (k-1)/2 = 7-row halo below their base — Ht < 7 would index negative
+    # rows (clamped DMA -> silent corruption), so such H require one tile
+    Dt, Ht, W, Hn = _tile_params(d, T)
+    return Hn == 1 or Ht >= _PAD
 
 
 @functools.partial(jax.jit, static_argnames=("d", "interpret"))
@@ -82,6 +88,8 @@ def fused_tcn_block(
     f32 activations, f32 accumulation/epilogue. Returns x.dtype [B, T, C]."""
     B, T, C = x.shape
     dtype = x.dtype
+    if not fused_block_applicable(C, d, T):
+        raise ValueError(f"fused kernel inapplicable for C={C}, d={d}, T={T}")
     Dt, Ht, W, Hn = _tile_params(d, T)
     M = Ht * Dt
     H = T // d

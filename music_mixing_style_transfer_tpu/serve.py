@@ -131,7 +131,8 @@ def serve(service: StyleTransferService, port: int = 8700, host: str = "127.0.0.
 def main(argv=None) -> int:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from music_mixing_style_transfer_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--port", type=int, default=8700)
     p.add_argument("--host", type=str, default="127.0.0.1")

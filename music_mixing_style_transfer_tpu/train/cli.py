@@ -19,7 +19,8 @@ from .loop import train_converter, train_fxencoder
 def main(argv=None) -> int:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from music_mixing_style_transfer_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("model", choices=["fxencoder", "converter"])
     p.add_argument("--data_dir", type=str, required=True)

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import FXencoderConfig, TrainConfig
 from ..losses import nt_xent_loss
 from ..models import FXencoder
-from .state import TrainState, create_train_state, make_optimizer
+from .state import TrainState, cast_floats, create_train_state, make_optimizer
 
 
 def contrastive_loss_fn(
@@ -45,8 +45,6 @@ def contrastive_loss_fn(
     forward/backward runs in bf16; the NT-Xent similarities are always
     computed on f32-cast embeddings.
     """
-    from .converter import _cast_floats
-
     n_inst, B = batch_a.shape[0], batch_a.shape[1]
     xa = batch_a.reshape((n_inst * B,) + batch_a.shape[2:])
     xb = batch_b.reshape((n_inst * B,) + batch_b.shape[2:])
@@ -54,8 +52,8 @@ def contrastive_loss_fn(
 
     mixed = compute_dtype != jnp.float32
     if mixed:
-        params = _cast_floats(params, compute_dtype)
-        batch_stats = _cast_floats(batch_stats, compute_dtype)
+        # batch_stats stay f32 (BN computes statistics in f32 internally)
+        params = cast_floats(params, compute_dtype)
         x = x.astype(compute_dtype)
     out, updates = encoder.apply(
         {"params": params, "batch_stats": batch_stats},
@@ -63,8 +61,6 @@ def contrastive_loss_fn(
         mutable=["batch_stats"],
     )
     out = out.astype(jnp.float32)
-    if mixed:
-        updates = _cast_floats(updates, jnp.float32)
     za, zb = jnp.split(out, 2, axis=0)
     za = za.reshape(n_inst, B, -1)
     zb = zb.reshape(n_inst, B, -1)

@@ -20,17 +20,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import TCNConfig, TrainConfig
 from ..losses import multiscale_spectral_midside, rms_loss
 from ..models import FXencoder, MixFXcloner
-from .state import TrainState, create_train_state, make_optimizer
-
-
-def _cast_floats(tree, dtype):
-    """Cast floating leaves to ``dtype`` (mixed-precision compute)."""
-    return jax.tree.map(
-        lambda a: a.astype(dtype)
-        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-        else a,
-        tree,
-    )
+from .state import TrainState, cast_floats, create_train_state, make_optimizer
 
 
 def converter_loss_fn(
@@ -52,9 +42,10 @@ def converter_loss_fn(
     stay float32 (losses always computed on f32-cast predictions)."""
     mixed = compute_dtype != jnp.float32
     if mixed:
-        params = _cast_floats(params, compute_dtype)
-        batch_stats = _cast_floats(batch_stats, compute_dtype)
-        enc_vars = _cast_floats(enc_vars, compute_dtype)
+        # batch_stats stay f32: train-mode BatchNorm computes/updates its
+        # statistics in f32 internally (models/blocks.py)
+        params = cast_floats(params, compute_dtype)
+        enc_vars = cast_floats(enc_vars, compute_dtype)
         a1, b2 = a1.astype(compute_dtype), b2.astype(compute_dtype)
     emb = jax.lax.stop_gradient(encoder.apply(enc_vars, b2))
     pred, updates = converter.apply(
@@ -65,8 +56,6 @@ def converter_loss_fn(
     )
     pred = pred.astype(jnp.float32)
     new_stats = updates["batch_stats"]
-    if mixed:
-        new_stats = _cast_floats(new_stats, jnp.float32)
     loss = multiscale_spectral_midside(pred, a2) + rms_weight * rms_loss(pred, a2)
     return loss, new_stats
 

@@ -37,3 +37,16 @@ def make_optimizer(
     if weight_decay > 0:
         return optax.adamw(learning_rate, weight_decay=weight_decay)
     return optax.adam(learning_rate)
+
+
+def cast_floats(tree, dtype):
+    """Cast floating leaves of a pytree to ``dtype`` (mixed-precision compute)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )

@@ -183,3 +183,23 @@ def test_tcn_channels_last_matches_nch(rng):
         a = nch.apply(v, x, c)
         b = nhc.apply(v, x, c)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_batchnorm_train_stats_f32_under_bf16(rng):
+    """bf16 activations with |mean| >> std: the E[x^2]-E[x]^2 variance must
+    be computed in f32 — in bf16 it cancels catastrophically (var <= 0 ->
+    rsqrt NaN). Running stats stay f32-valued."""
+    from music_mixing_style_transfer_tpu.models.blocks import BatchNorm1d
+
+    bn = BatchNorm1d(4, use_running_average=False)
+    # mean/std ratio representable in bf16 but fatal for bf16 E[x^2]-E[x]^2
+    x32 = (8.0 + 0.5 * rng.standard_normal((8, 4, 256))).astype(np.float32)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x32))
+    x16 = jnp.asarray(x32).astype(jnp.bfloat16)
+    y16, upd = bn.apply(variables, x16, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(y16, np.float32)).all()
+    var = np.asarray(upd["batch_stats"]["var"])
+    assert var.dtype == np.float32 and (var > 0).all()
+    # agree with the all-f32 pass up to input quantization noise
+    y32, _ = bn.apply(variables, jnp.asarray(x32), mutable=["batch_stats"])
+    assert np.abs(np.asarray(y16, np.float32) - np.asarray(y32)).mean() < 0.2

@@ -233,3 +233,46 @@ def test_open_wav_bank_fallback_without_lib(tmp_path, monkeypatch, rng):
     assert not files.banks
     seg = files.sample_segments(np.random.default_rng(0), "vocals", 2, 4096)
     assert seg.shape == (2, 2, 4096) and np.isfinite(seg).all()
+
+
+def test_wav_bank_input_validation(tmp_path, rng):
+    p = str(tmp_path / "v.wav")
+    write_wav(p, (rng.standard_normal((4000, 2)) * 0.1).astype(np.float32))
+    bank = open_wav_bank([p])
+    with pytest.raises(IndexError):
+        bank.read_segments([1], [0], 128)
+    with pytest.raises(ValueError):
+        bank.read_segments([0], [-5], 128)
+    with pytest.raises(ValueError):
+        bank.read_segments([0], [0], 0)
+    bank.close()
+    with pytest.raises(ValueError):
+        bank.read_segments([0], [0], 128)
+
+
+def test_wav_bank_identifies_failing_file(tmp_path, rng):
+    """A file truncated after bank creation is named in the IOError."""
+    good = str(tmp_path / "good.wav")
+    bad = str(tmp_path / "bad.wav")
+    for p in (good, bad):
+        write_wav(p, (rng.standard_normal((8000, 2)) * 0.1).astype(np.float32))
+    bank = open_wav_bank([good, bad])
+    with open(bad, "r+b") as f:
+        f.truncate(64)  # keep the header, drop the data
+    with pytest.raises(IOError, match="bad.wav"):
+        bank.read_segments([0, 1], [0, 4000], 1024)
+    bank.close()
+
+
+def test_musdb_files_native_rejects_wrong_rate(tmp_path, rng):
+    from music_mixing_style_transfer_tpu.data.datasets import _MUSDBFiles
+
+    d = tmp_path / "train"
+    os.makedirs(d)
+    write_wav(
+        str(d / "drums_normalized_eqcompimagegain_silence_trimmed0.wav"),
+        (rng.standard_normal((20000, 2)) * 0.1).astype(np.float32),
+        rate=48000,
+    )
+    with pytest.raises(ValueError, match="48000"):
+        _MUSDBFiles(str(d), instruments=("drums",), use_native=True)

@@ -110,3 +110,16 @@ def test_fused_block_non_pow2_length(rng, d):
     got = np.asarray(fused_tcn_block(x, w, s, t, r, b, wr, d=d, interpret=True))
     want = np.asarray(_reference(x, w, s, t, r, b, wr, d))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_applicability_rejects_small_divisor_heights():
+    """H whose only divisors <= tile target are < 7 would make interior
+    tiles DMA negative rows (silent corruption) — must fall back to XLA."""
+    # T=4304, d=8 -> H=538=2*269: largest usable divisor is 2 (< halo 7)
+    assert not fused_block_applicable(128, 8, 4304)
+    with pytest.raises(ValueError):
+        fused_tcn_block(
+            jnp.zeros((1, 4304, C)), jnp.zeros((K, C, C)),
+            jnp.ones(C), jnp.zeros(C), jnp.ones((1, C)), jnp.zeros((1, C)),
+            jnp.zeros(C), d=8, interpret=True,
+        )
