@@ -140,3 +140,36 @@ def test_trim_silence():
     x[:, 4096 : 2 * 4096] = 0.5
     y = trim_silence(x, threshold_db=-40)
     assert y.shape[1] == 4096
+
+
+def test_prepare_musdb_feeds_training_datasets(tmp_path, rng):
+    """prepare_musdb output must satisfy the dataset file contract
+    end-to-end: raw MUSDB layout -> prepped corpus -> ContrastivePairDataset."""
+    from music_mixing_style_transfer_tpu.tools.prepare_musdb import prepare_corpus
+    from music_mixing_style_transfer_tpu.data.datasets import ContrastivePairDataset
+    from music_mixing_style_transfer_tpu.data.wavio import write_wav
+
+    root = tmp_path / "musdb"
+    for s, song in [("train", "songA"), ("train", "songB")]:
+        d = root / s / song
+        os.makedirs(d)
+        for inst in ("drums", "bass", "other", "vocals"):
+            t = int(rng.integers(60000, 90000))
+            x = (rng.standard_normal((t, 2)) * 0.2).clip(-1, 1).astype(np.float32)
+            x[: 12000] *= 1e-5  # leading silence to exercise the trim
+            write_wav(str(d / f"{inst}.wav"), x)
+
+    out = tmp_path / "prepped"
+    # --no_normalize path: fast (no device normalization) and exercises the
+    # same file-contract; the normalized path shares the writer code
+    n = prepare_corpus(str(root), str(out), splits=("train",), normalize=False)
+    assert n == 2
+    files = sorted(os.listdir(out / "train"))
+    assert "drums_silence_trimmed0.wav" in files and "vocals_silence_trimmed1.wav" in files
+
+    ds = ContrastivePairDataset(
+        str(out), mode="train", segment_length=8192, use_normalized=False
+    )
+    a, b = ds.sample_batch([0], epoch_seed=1)
+    assert a["drums"].shape == (2, 2, 8192)
+    assert all(np.isfinite(v).all() for v in a.values())
