@@ -10,8 +10,9 @@ TPU re-design of the reference inference layer
 - reference embeddings are masked-averaged over real segments on device.
 - per-stem converted segments are reassembled (concat + trim) on host.
 
-Checkpoints: pass paths to the published torch checkpoints to reproduce the
-pretrained system (``models/torch_import.py``); otherwise random init.
+Checkpoints: pass published torch ``.pt`` files, ``convert_ckpt`` orbax
+directories, or trainer checkpoint directories — all auto-detected
+(``models/checkpoints.py``); otherwise random init.
 """
 from __future__ import annotations
 
@@ -26,7 +27,7 @@ from ..config import FXencoderConfig, InferenceConfig, TCNConfig
 from ..data.segments import pad_to_batches, reassemble_song, segment_song
 from ..data.wavio import read_wav_stereo_ct, write_wav
 from ..models import FXencoder, MixFXcloner
-from ..models.torch_import import load_fxencoder_variables, load_mixfxcloner_variables
+from ..models.checkpoints import load_model_variables
 from ..utils.logging import get_logger
 
 log = get_logger(__name__)
@@ -78,14 +79,14 @@ class StyleTransferEngine:
         from ..models.fast_init import fast_init
 
         if ckpt_path_enc and os.path.exists(ckpt_path_enc):
-            self.enc_vars = load_fxencoder_variables(ckpt_path_enc)
+            self.enc_vars = load_model_variables(ckpt_path_enc, "fxencoder")
             log.info("loaded FXencoder checkpoint: %s", ckpt_path_enc)
         else:
             if ckpt_path_enc:
                 log.warning("FXencoder checkpoint %s missing - random init", ckpt_path_enc)
             self.enc_vars = fast_init(self.encoder, jnp.zeros((1, 2, 2**14)), seed=seed)
         if ckpt_path_conv and os.path.exists(ckpt_path_conv):
-            self.conv_vars = load_mixfxcloner_variables(ckpt_path_conv)
+            self.conv_vars = load_model_variables(ckpt_path_conv, "mixfxcloner")
             log.info("loaded MixFXcloner checkpoint: %s", ckpt_path_conv)
         else:
             if ckpt_path_conv:

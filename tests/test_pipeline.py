@@ -251,3 +251,38 @@ def test_mesh_sharded_inference_matches_single(rng):
     y1 = e_single.convert_song(audio, emb1, 8192)
     y2 = e_mesh.convert_song(audio, emb2, 8192)
     np.testing.assert_allclose(y1, y2, rtol=1e-4, atol=1e-5)
+
+
+def test_engine_loads_trainer_checkpoint(tmp_path, rng):
+    """StyleTransferEngine must serve checkpoints saved by the trainers
+    (orbax CheckpointManager dirs), not only torch .pt files."""
+    from music_mixing_style_transfer_tpu.config import FXencoderConfig, TCNConfig
+    from music_mixing_style_transfer_tpu.infer.pipeline import StyleTransferEngine
+    from music_mixing_style_transfer_tpu.models.checkpoints import load_model_variables
+    from music_mixing_style_transfer_tpu.train import CheckpointManager, init_contrastive
+
+    enc_cfg = FXencoderConfig(channels=(8, 16), kernels=(25, 15), strides=(4, 4), dilation=(1, 1))
+    enc, state, tx = init_contrastive(enc_cfg, example_length=4096)
+    d = str(tmp_path / "ckpt")
+    CheckpointManager(d, keep=2).save(5, state)
+
+    vars_ = load_model_variables(d, "fxencoder")
+    leaf = jax.tree.leaves(vars_["params"])[0]
+    np.testing.assert_array_equal(np.asarray(leaf), np.asarray(jax.tree.leaves(state.params)[0]))
+
+    tcn_cfg = TCNConfig(condition_dimension=enc_cfg.embed_dim, nblocks=2, channel_width=8, kernel_size=7)
+    eng = StyleTransferEngine(
+        ckpt_path_enc=d, encoder_cfg=enc_cfg, converter_cfg=tcn_cfg
+    )
+    audio = (rng.standard_normal((2, 8192)) * 0.2).astype(np.float32)
+    emb = eng.embed_song(audio, 4096)
+    assert emb.shape == (enc_cfg.embed_dim,) and np.isfinite(emb).all()
+
+
+def test_checkpoint_loader_rejects_garbage(tmp_path):
+    from music_mixing_style_transfer_tpu.models.checkpoints import load_model_variables
+
+    empty = tmp_path / "empty"
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError):
+        load_model_variables(str(empty), "fxencoder")
