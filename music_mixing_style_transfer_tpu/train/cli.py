@@ -68,17 +68,9 @@ def main(argv=None) -> int:
     else:
         if args.encoder_ckpt is None:
             p.error("converter training requires --encoder_ckpt")
-        if args.encoder_ckpt.endswith(".pt"):
-            from ..models.torch_import import load_fxencoder_variables
+        from ..models.checkpoints import load_model_variables
 
-            enc_vars = load_fxencoder_variables(args.encoder_ckpt)
-        else:
-            from ..train import CheckpointManager, init_contrastive
-
-            _, state, _ = init_contrastive(train_cfg=tcfg)
-            mgr = CheckpointManager(args.encoder_ckpt)
-            state = mgr.restore(state)
-            enc_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        enc_vars = load_model_variables(args.encoder_ckpt, "fxencoder")
         train_converter(
             args.data_dir,
             args.out_dir,
