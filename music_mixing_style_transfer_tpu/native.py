@@ -36,11 +36,23 @@ def _stale() -> bool:
 
 
 def _build() -> bool:
+    """Build under an exclusive file lock: concurrent processes (pytest +
+    trainer startup) would otherwise run `make` on the same .so at once."""
     try:
-        subprocess.run(
-            ["make", "-C", _CPP_DIR], check=True, capture_output=True, timeout=120
-        )
-        return os.path.exists(_LIB_PATH)
+        import fcntl
+
+        lock_path = os.path.join(_CPP_DIR, ".build.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                if not _stale():  # another process just built it
+                    return os.path.exists(_LIB_PATH)
+                subprocess.run(
+                    ["make", "-C", _CPP_DIR], check=True, capture_output=True, timeout=120
+                )
+                return os.path.exists(_LIB_PATH)
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
     except Exception:
         return False
 
