@@ -105,4 +105,4 @@ class Bend:
         return {"boundaries": boundaries, "cents": cents}
 
     def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
-        return bend(x, params["boundaries"], params["cents"], self.sample_rate)
+        return bend(x, params["boundaries"], params["cents"])

@@ -29,10 +29,11 @@ from ..config import NormalizationConfig
 from ..ops.biquad import _odd_ext
 from ..ops.loudness import integrated_loudness
 from .imager import normalize_imager
+from ..ops.compressor import compress_and_clip
+from ..ops.stft import sqrt_hann_window, stft
 from .matching import (
     _comp_grid,
     amp_to_db,
-    average_magnitude_spectrum,
     design_eq_fir,
     measure_mean_peak,
 )
@@ -41,10 +42,10 @@ from .matching import (
 # ---------------------------------------------------------------------------
 # batched primitives
 # ---------------------------------------------------------------------------
-@jax.jit
-def _batched_loudness(stems_tc: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("sample_rate",))
+def _batched_loudness(stems_tc: jnp.ndarray, sample_rate: int = 44100) -> jnp.ndarray:
     """[S, T, 2] -> per-stem LUFS."""
-    return jax.vmap(lambda x: integrated_loudness(x, 44100))(stems_tc)
+    return jax.vmap(lambda x: integrated_loudness(x, sample_rate))(stems_tc)
 
 
 @jax.jit
@@ -55,10 +56,21 @@ def _apply_gain_peak_protect(stems: jnp.ndarray, gains: jnp.ndarray) -> jnp.ndar
     return y / maxabs
 
 
-@jax.jit
-def _batched_avg_spectrum(ch: jnp.ndarray) -> jnp.ndarray:
-    """[N, T] -> [N, bins] mean |STFT| (65536/16384 sqrt-hann)."""
-    return average_magnitude_spectrum(ch, 2**16, 2**14)
+@partial(jax.jit, static_argnames=("n_fft", "hop"))
+def _batched_avg_spectrum(
+    ch: jnp.ndarray, valid_frames: jnp.ndarray, n_fft: int, hop: int
+) -> jnp.ndarray:
+    """[N, T] -> [N, bins] mean |STFT| over each lane's first
+    ``valid_frames[n]`` frames only — lanes are zero-padded to the longest
+    stem, and including the padding frames would dilute the spectrum and
+    turn into a spurious broadband EQ boost."""
+    win = sqrt_hann_window(n_fft)
+    spec = jnp.abs(stft(ch, n_fft, hop, win, center=False))  # [N, F, bins]
+    F = spec.shape[-2]
+    mask = (jnp.arange(F)[None, :] < valid_frames[:, None]).astype(spec.dtype)
+    return jnp.sum(spec * mask[..., None], axis=-2) / jnp.maximum(
+        valid_frames[:, None], 1
+    )
 
 
 @jax.jit
@@ -86,7 +98,7 @@ def _grouped_fir_filtfilt(ch: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     return y[:, padlen : padlen + T].astype(ch.dtype)
 
 
-@partial(jax.jit, static_argnames=("sample_rate",))
+@partial(jax.jit, static_argnames=("sample_rate", "percentile"))
 def _chunk_peaks_batch(
     ch: jnp.ndarray,       # [N, T]
     ratios: jnp.ndarray,   # [N, Gc] effective ratios (already inverted for 'up')
@@ -94,27 +106,17 @@ def _chunk_peaks_batch(
     attacks: jnp.ndarray,  # [N]
     releases: jnp.ndarray, # [N]
     sample_rate: int,
+    percentile: float = 75.0,
 ) -> jnp.ndarray:
     """Peaks feature for every (channel, candidate) pair: [N, Gc]."""
     N, Gc = ratios.shape
     T = ch.shape[-1]
     xg = jnp.broadcast_to(ch[:, None, :], (N, Gc, T)).reshape(N * Gc, T)
-    r = ratios.reshape(-1)
-    t = ths.reshape(-1)
-    a = jnp.repeat(attacks, Gc)
-    rel = jnp.repeat(releases, Gc)
-    if jax.default_backend() == "tpu":
-        from ..ops.pallas.envelope import compressor_pallas
-
-        y = compressor_pallas(xg, t, a, rel, r, sample_rate=sample_rate)
-    else:
-        from ..ops.compressor import compressor_process
-
-        y = compressor_process(
-            xg, t[:, None], a, rel, r[:, None], 0.0, sample_rate=sample_rate
-        )
-    y = jnp.where(jnp.max(jnp.abs(y), axis=-1, keepdims=True) >= 1.0, jnp.clip(y, -1, 1), y)
-    peaks, _ = measure_mean_peak(y)
+    y = compress_and_clip(
+        xg, ths.reshape(-1), jnp.repeat(attacks, Gc), jnp.repeat(releases, Gc),
+        ratios.reshape(-1), sample_rate,
+    )
+    peaks, _ = measure_mean_peak(y, percentile=percentile)
     return peaks.reshape(N, Gc)
 
 
@@ -124,18 +126,7 @@ def _compress_chosen(
     attacks: jnp.ndarray, releases: jnp.ndarray, sample_rate: int,
 ) -> jnp.ndarray:
     """One compressor pass with per-lane chosen parameters: [N, T]."""
-    if jax.default_backend() == "tpu":
-        from ..ops.pallas.envelope import compressor_pallas
-
-        y = compressor_pallas(ch, ths, attacks, releases, ratios, sample_rate=sample_rate)
-    else:
-        from ..ops.compressor import compressor_process
-
-        y = compressor_process(
-            ch, ths[:, None], attacks, releases, ratios[:, None], 0.0,
-            sample_rate=sample_rate,
-        )
-    return jnp.where(jnp.max(jnp.abs(y), axis=-1, keepdims=True) >= 1.0, jnp.clip(y, -1, 1), y)
+    return compress_and_clip(ch, ths, attacks, releases, ratios, sample_rate)
 
 
 # ---------------------------------------------------------------------------
@@ -157,21 +148,45 @@ class BatchedAudioEffectsNormalizer:
         targets = jnp.asarray(
             [float(np.ravel(self.features["loudness"][i])[0]) for i in insts]
         )
-        loud = _batched_loudness(jnp.swapaxes(stems, 1, 2) + 1e-10)
-        gains = jnp.power(10.0, (targets - loud) / 20.0)
+        loud = _batched_loudness(
+            jnp.swapaxes(stems, 1, 2) + 1e-10, self.cfg.sample_rate
+        )
+        # fully-gated stems measure -inf LUFS -> inf gain; skip them
+        gains = jnp.where(
+            jnp.isfinite(loud), jnp.power(10.0, (targets - loud) / 20.0), 1.0
+        )
         return _apply_gain_peak_protect(stems, gains)
 
-    def _stage_eq(self, stems: jnp.ndarray, insts: Sequence[str]) -> jnp.ndarray:
+    def _stage_eq(
+        self, stems: jnp.ndarray, insts: Sequence[str], lengths: Sequence[int]
+    ) -> jnp.ndarray:
         cfg = self.cfg
         S = stems.shape[0]
         ch = stems.reshape(S * 2, -1)  # [N, T]
-        # per-channel LUFS -30 normalization (channel treated as mono signal)
-        loud = jax.vmap(lambda x: integrated_loudness(x[:, None] + 1e-10, 44100))(ch)
-        gains = jnp.power(10.0, (cfg.lufs - loud) / 20.0)
+        # silent channels skip the stage entirely (per-stem path's min_db
+        # rule, matching.eq_match) — a -inf LUFS channel would otherwise
+        # produce inf gains and NaN taps
+        ch_peak_db = amp_to_db(np.asarray(jnp.max(jnp.abs(ch), axis=-1)))
+        silent = ch_peak_db <= cfg.min_db
+        # per-channel LUFS normalization (channel treated as mono signal)
+        loud = jax.vmap(
+            lambda x: integrated_loudness(x[:, None] + 1e-10, cfg.sample_rate)
+        )(ch)
+        gains = jnp.where(
+            jnp.isfinite(loud), jnp.power(10.0, (cfg.lufs - loud) / 20.0), 1.0
+        )
         y = ch * gains[:, None]
         maxabs = jnp.maximum(1.0, 1e-6 + jnp.max(jnp.abs(y), axis=-1, keepdims=True))
         y = y / maxabs
-        specs = np.asarray(_batched_avg_spectrum(y))
+        # frames within each stem's own (padded) span; zero-pad to the
+        # longest stem must not dilute the average spectrum
+        spans = np.asarray([2 * cfg.fft_size + lengths[n // 2] for n in range(S * 2)])
+        valid = np.maximum(1 + (spans - cfg.fft_size) // cfg.hop_length, 1)
+        specs = np.asarray(
+            _batched_avg_spectrum(
+                y, jnp.asarray(valid, jnp.int32), cfg.fft_size, cfg.hop_length
+            )
+        )
         taps = np.stack(
             [
                 design_eq_fir(specs[n], np.asarray(self.features["eq"][insts[n // 2]]), cfg.ntaps)
@@ -179,6 +194,7 @@ class BatchedAudioEffectsNormalizer:
             ]
         )
         out = _grouped_fir_filtfilt(y, jnp.asarray(taps))
+        out = jnp.where(jnp.asarray(silent)[:, None], ch, out)
         return out.reshape(S, 2, -1)
 
     def _stage_compression(self, stems: jnp.ndarray, insts: Sequence[str]) -> jnp.ndarray:
@@ -191,7 +207,7 @@ class BatchedAudioEffectsNormalizer:
         peaks = jnp.max(jnp.abs(ch), axis=-1, keepdims=True)
         x = ch * (10 ** (cfg.comp_peak_norm / 20.0) / jnp.maximum(peaks, 1e-30))
 
-        feat, _ = measure_mean_peak(x)
+        feat, _ = measure_mean_peak(x, percentile=float(cfg.comp_percentile))
         feat = np.asarray(feat)  # [N]
 
         ref_peak = np.asarray(
@@ -209,7 +225,7 @@ class BatchedAudioEffectsNormalizer:
         in_band = (feat > ref_peak - ref_std) & (feat < ref_peak + ref_std)
         down = (~in_band) & (feat > ref_peak - ref_std)
         up = (~in_band) & ~down & np.asarray([cfg.comp_use_expander] * N)
-        active = down | up
+        active = (down | up) & np.isfinite(feat)  # no-onset channels skip
 
         # per-channel candidate grids (effective ratios; identity when inactive)
         G = 0
@@ -249,6 +265,7 @@ class BatchedAudioEffectsNormalizer:
                 _chunk_peaks_batch(
                     x, jnp.asarray(r), jnp.asarray(t),
                     jnp.asarray(attacks), jnp.asarray(releases), cfg.sample_rate,
+                    float(cfg.comp_percentile),
                 )
             )
             n_valid = min(chunk, G - lo)
@@ -275,7 +292,9 @@ class BatchedAudioEffectsNormalizer:
         targets = jnp.asarray([float(self.features["imager"][i]) for i in insts])
         thresholds = jnp.asarray([0.99 if i == "bass" else 0.975 for i in insts])
         return jax.vmap(
-            lambda a, t, m: normalize_imager(a, target_side_mid_bal=t, mono_threshold=m)
+            lambda a, t, m: normalize_imager(
+                a, target_side_mid_bal=t, mono_threshold=m, sr=self.cfg.sample_rate
+            )
         )(stems, targets, thresholds)
 
     # -- orchestration --------------------------------------------------
@@ -290,6 +309,7 @@ class BatchedAudioEffectsNormalizer:
             ]
         )  # [S, 2, T + 2*fft]
         lengths = {i: stems[i].shape[-1] for i in insts}
+        length_list = [lengths[i] for i in insts]
 
         skip = np.asarray(
             [amp_to_db(np.max(np.abs(x[s]))) <= cfg.min_db for s in range(len(insts))]
@@ -299,7 +319,7 @@ class BatchedAudioEffectsNormalizer:
             if effect == "loudness":
                 y = self._stage_loudness(cur, insts)
             elif effect == "eq":
-                y = self._stage_eq(cur, insts)
+                y = self._stage_eq(cur, insts, length_list)
             elif effect == "compression":
                 y = self._stage_compression(cur, insts)
             elif effect == "imager":

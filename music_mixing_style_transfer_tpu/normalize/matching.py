@@ -307,23 +307,16 @@ def _comp_grid(ratio: float, min_th: float, max_ratio: float, expander: bool):
 
 
 def _grid_compress(x, ratios, ths, attack, release, sample_rate, mode):
-    """Compress x against a chunk of (ratio, threshold) candidates."""
+    """Compress x against a chunk of (ratio, threshold) candidates (the
+    TPU-kernel-vs-scan dispatch lives in ops.compressor.compress_and_clip)."""
+    from ..ops.compressor import compress_and_clip
+
     G = ratios.shape[0]
     xg = jnp.broadcast_to(x[None, :], (G, x.shape[-1]))
     rr = ratios if mode == "down" else 1.0 / ratios
-    if jax.default_backend() == "tpu":
-        # fused Pallas envelope kernel: the grid is exactly the wide-lane
-        # shape the kernel wants (ops/pallas/envelope.py)
-        from ..ops.pallas.envelope import compressor_pallas
-
-        y = compressor_pallas(xg, ths, attack, release, rr, sample_rate=sample_rate)
-    else:
-        y = compressor_process(
-            xg, ths[:, None], attack, release, rr[:, None], 0.0, sample_rate=sample_rate
-        )
-    return jnp.where(
-        jnp.max(jnp.abs(y), axis=-1, keepdims=True) >= 1.0, jnp.clip(y, -1, 1), y
-    )
+    att = jnp.broadcast_to(jnp.asarray(attack, jnp.float32), (G,))
+    rel = jnp.broadcast_to(jnp.asarray(release, jnp.float32), (G,))
+    return compress_and_clip(xg, ths, att, rel, rr, sample_rate)
 
 
 @partial(jax.jit, static_argnames=("sample_rate", "percentile", "mode"))

@@ -305,13 +305,8 @@ def biquad_cascade_fft(
 def biquad_cascade(x: jnp.ndarray, coeffs_list: jnp.ndarray, parallel: bool = True) -> jnp.ndarray:
     """Apply ``coeffs_list [n_filters, ..., 5]`` biquads in series."""
     apply_fn = biquad_apply if parallel else biquad_apply_scan
-    n = coeffs_list.shape[0]
-
-    def body(i, xx):
-        return apply_fn(xx, coeffs_list[i])
-
-    # n is static and small (<=5) -> unrolled python loop keeps XLA fusion
-    for i in range(n):
+    # filter count is static and small (<=5): unrolled loop keeps XLA fusion
+    for i in range(coeffs_list.shape[0]):
         x = apply_fn(x, coeffs_list[i])
     return x
 

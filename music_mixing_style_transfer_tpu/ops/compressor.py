@@ -68,20 +68,27 @@ def alphas(attack_ms, release_ms, sample_rate) -> Tuple[jnp.ndarray, jnp.ndarray
 
 
 def _envelope_scan(x_l: jnp.ndarray, a_att, a_rel, y0=None) -> jnp.ndarray:
-    """Exact envelope smoothing via branchless max-affine scan.
+    """Exact envelope smoothing via branchless selection scan.
 
-    ``x_l``: ``[..., T]``; alphas broadcastable to the batch shape.
+    ``x_l``: ``[..., T]``; alphas broadcastable to the batch shape. Both
+    candidates are convex combinations of (y_prev, x); when attack is
+    faster (a_att <= a_rel) the branchy reference always picks the LARGER
+    candidate, when slower the smaller — so max/min selected per lane is
+    exact for every (attack, release) ordering.
     """
     batch_shape = x_l.shape[:-1]
     a_att = jnp.broadcast_to(jnp.asarray(a_att, x_l.dtype), batch_shape)
     a_rel = jnp.broadcast_to(jnp.asarray(a_rel, x_l.dtype), batch_shape)
+    use_max = a_att <= a_rel
     if y0 is None:
         y0 = jnp.zeros(batch_shape, x_l.dtype)
 
     def step(y_prev, xn):
         cand_att = a_att * y_prev + (1.0 - a_att) * xn
         cand_rel = a_rel * y_prev + (1.0 - a_rel) * xn
-        y = jnp.maximum(cand_att, cand_rel)
+        y = jnp.where(
+            use_max, jnp.maximum(cand_att, cand_rel), jnp.minimum(cand_att, cand_rel)
+        )
         return y, y
 
     _, y_l = jax.lax.scan(step, y0, jnp.moveaxis(x_l, -1, 0))
@@ -145,6 +152,35 @@ def compressor_process(
     return x * c
 
 
+def compress_and_clip(
+    x2: jnp.ndarray,       # [L, T]
+    thresholds: jnp.ndarray,  # [L]
+    attacks: jnp.ndarray,  # [L]
+    releases: jnp.ndarray, # [L]
+    ratios: jnp.ndarray,   # [L]
+    sample_rate: int = 44100,
+) -> jnp.ndarray:
+    """Per-lane compressor + the reference's clip rule (clip only if the
+    output exceeds full scale, ``utils_data_normalization.py:352-355``),
+    dispatched to the fused Pallas envelope kernel on TPU backends.
+    The single home for the backend switch used by the normalization
+    matching/batch paths."""
+    if jax.default_backend() == "tpu":
+        from .pallas.envelope import compressor_pallas
+
+        y = compressor_pallas(
+            x2, thresholds, attacks, releases, ratios, sample_rate=sample_rate
+        )
+    else:
+        y = compressor_process(
+            x2, thresholds[:, None], attacks, releases, ratios[:, None], 0.0,
+            sample_rate=sample_rate,
+        )
+    return jnp.where(
+        jnp.max(jnp.abs(y), axis=-1, keepdims=True) >= 1.0, jnp.clip(y, -1, 1), y
+    )
+
+
 # ===========================================================================
 # sox-style compander (reference ``fx_utils.py:240-263``, libsox compand)
 # ===========================================================================
@@ -200,8 +236,8 @@ def compand_transfer_table(
     return grid.astype(np.float32), out.astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("sample_rate",))
-def _compand_apply(x, grid, table, a_att, a_rel, sample_rate: int = 44100):
+@jax.jit
+def _compand_apply(x, grid, table, a_att, a_rel):
     # envelope over the channel-max absolute value, shared across channels
     v = jnp.max(jnp.abs(x), axis=-2, keepdims=True)  # [..., 1, T]
     env = _envelope_scan(v, a_att, a_rel)
@@ -232,4 +268,4 @@ def compand(
     grid, table = compand_transfer_table(tf_points, soft_knee_db)
     a_att = jnp.exp(-1.0 / (sample_rate * attack_s))
     a_rel = jnp.exp(-1.0 / (sample_rate * decay_s))
-    return _compand_apply(x, jnp.asarray(grid), jnp.asarray(table), a_att, a_rel, sample_rate)
+    return _compand_apply(x, jnp.asarray(grid), jnp.asarray(table), a_att, a_rel)

@@ -111,7 +111,9 @@ def lufs_normalize(x: jnp.ndarray, rate: int, target_lufs) -> jnp.ndarray:
     """Reference ``fx_utils.lufs_normalize``: measure -> gain to target ->
     divide by max(1, peak) to protect against clipping."""
     loud = integrated_loudness(x + 1e-10, rate)
-    y = loudness_normalize(x, loud, target_lufs)
+    # fully-gated input measures -inf LUFS -> the gain would be inf/NaN
+    # (pyloudnorm NaNs here); pass such audio through unchanged instead
+    y = jnp.where(jnp.isfinite(loud), loudness_normalize(x, loud, target_lufs), x)
     maxabs = jnp.maximum(1.0, 1e-6 + jnp.max(jnp.abs(y)))
     return y / maxabs
 

@@ -14,8 +14,9 @@ dimension; the envelope state persists across chunks in a VMEM scratch
 (TPU grid iteration is sequential, so the carry is sound).
 
 Exactness: identical recurrence to the reference numba loop
-(``common_audioeffects.py:529-587``) in its branchless max-affine form
-(valid for attack <= release; see ``ops/compressor.py``).
+(``common_audioeffects.py:529-587``) in its branchless selection form —
+max of the two affine candidates when attack <= release, min when the
+attack is slower (see ``ops/compressor.py:_envelope_scan``).
 """
 from __future__ import annotations
 
@@ -50,6 +51,7 @@ def _envelope_kernel(
     a_rel = params_ref[0, 3]
     one_m_att = 1.0 - a_att
     one_m_rel = 1.0 - a_rel
+    use_max = a_att <= a_rel
 
     is_comp = ratio > 1.0
     is_exp = ratio < 1.0
@@ -68,9 +70,10 @@ def _envelope_kernel(
         expd = jnp.where(over <= 0.0, threshold + over * inv_ratio, x_g)
         y_g = jnp.where(is_comp, comp, jnp.where(is_exp, expd, x_g))
         x_l = x_g - y_g
-        y_l = jnp.maximum(
-            a_att * y_prev + one_m_att * x_l,
-            a_rel * y_prev + one_m_rel * x_l,
+        cand_att = a_att * y_prev + one_m_att * x_l
+        cand_rel = a_rel * y_prev + one_m_rel * x_l
+        y_l = jnp.where(
+            use_max, jnp.maximum(cand_att, cand_rel), jnp.minimum(cand_att, cand_rel)
         )
         y_ref[0, t] = x * jnp.exp(-0.11512925464970229 * y_l)  # 10^(-y_l/20)
         return y_l

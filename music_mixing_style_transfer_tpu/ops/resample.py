@@ -128,10 +128,11 @@ def bend(
     x: jnp.ndarray,
     boundaries: np.ndarray,
     cents: np.ndarray,
-    sample_rate: int = 44100,
 ) -> jnp.ndarray:
     """sox ``bend``: pitch-shift successive segments by the given cents
-    (host-orchestrated over the few segments; each shift is on-device)."""
+    (host-orchestrated over the few segments; each shift is on-device).
+    ``boundaries`` are SAMPLE indices into the last axis (callers emulating
+    sox's seconds-based positions convert with their own sample rate)."""
     T = x.shape[-1]
     bounds = [0] + [int(b) for b in boundaries] + [T]
     parts = []

@@ -26,9 +26,9 @@ import numpy as np
 def hann_window(win_length: int, periodic: bool = True) -> np.ndarray:
     """Hann window. ``periodic=True`` matches torch.hann_window default;
     ``periodic=False`` the symmetric np.hanning."""
-    n = win_length + 1 if not periodic else win_length
-    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / max(n if periodic else n - 1, 1))
-    return w[:win_length].astype(np.float32)
+    n = win_length if periodic else win_length - 1
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(win_length) / max(n, 1))
+    return w.astype(np.float32)
 
 
 def hamming_window(win_length: int, periodic: bool = True) -> np.ndarray:

@@ -276,3 +276,15 @@ def test_musdb_files_native_rejects_wrong_rate(tmp_path, rng):
     )
     with pytest.raises(ValueError, match="48000"):
         _MUSDBFiles(str(d), instruments=("drums",), use_native=True)
+
+
+def test_compressor_attack_slower_than_release(rng):
+    """attack > release flips which affine candidate is correct; the
+    generalized min/max selection must still match the branchy reference
+    loop (the C++ oracle) exactly."""
+    from music_mixing_style_transfer_tpu.ops import compressor_process as jax_comp
+
+    x = (rng.standard_normal(6000) * 0.5).astype(np.float32)
+    y_native = native.compressor_process(x, -20.0, 200.0, 50.0, 6.0)
+    y_jax = np.asarray(jax_comp(jnp.asarray(x), -20.0, 200.0, 50.0, 6.0, 0.0))
+    np.testing.assert_allclose(y_native, y_jax, rtol=1e-3, atol=1e-4)

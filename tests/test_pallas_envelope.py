@@ -42,3 +42,15 @@ def test_pallas_time_chunk_carry(rng):
         compressor_pallas(jnp.asarray(x), -25.0, 2.0, 300.0, 8.0, time_chunk=512)
     )
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_envelope_attack_slower_than_release(rng):
+    from music_mixing_style_transfer_tpu.ops import compressor_process
+    from music_mixing_style_transfer_tpu.ops.pallas.envelope import compressor_pallas
+
+    x = jnp.asarray(rng.standard_normal((3, 4096)) * 0.4, jnp.float32)
+    y_scan = np.asarray(compressor_process(x, -18.0, 250.0, 40.0, 5.0, 0.0))
+    y_k = np.asarray(
+        compressor_pallas(x, -18.0, 250.0, 40.0, 5.0, interpret=True)
+    )
+    np.testing.assert_allclose(y_k, y_scan, rtol=1e-4, atol=1e-5)
