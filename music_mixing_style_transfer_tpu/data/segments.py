@@ -58,3 +58,21 @@ def pad_to_batches(segments: np.ndarray, batch_size: int) -> Tuple[np.ndarray, i
             [segments, np.zeros((pad,) + segments.shape[1:], segments.dtype)], axis=0
         )
     return segments, n
+
+
+def segment_song_halo(
+    audio: np.ndarray, segment_length: int, halo: int
+) -> np.ndarray:
+    """Segment ``[2, T]`` with ``halo`` samples of real context on each side
+    of every segment: ``[n_seg, 2, segment_length + 2*halo]``. The caller
+    trims ``[halo : halo + segment_length]`` from each converted segment.
+    """
+    T = audio.shape[-1]
+    n_seg = max(-(-T // segment_length), 1)
+    padded = np.pad(audio, ((0, 0), (halo, halo + n_seg * segment_length - T)))
+    return np.stack(
+        [
+            padded[:, s : s + segment_length + 2 * halo]
+            for s in np.arange(n_seg) * segment_length
+        ]
+    )

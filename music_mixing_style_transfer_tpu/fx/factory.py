@@ -171,7 +171,6 @@ def create_reverb_send_chain(
     """Reverb send: band-shaping EQ into a reverb, mixed in parallel
     (reference ``get_reverb_send``, ``utils_data_normalization.py:436-477``,
     used for dataset preparation)."""
-    from .processors import Equaliser as _Eq
 
     gain = low_shelf_gain_db
     fixed = {}
@@ -179,7 +178,7 @@ def create_reverb_send_chain(
         fixed[f"{band}_gain"] = gain if high_shelf_gain_db is None else (
             gain if band == "low_shelf" else high_shelf_gain_db
         )
-    eq = _Eq(sample_rate=sample_rate, bands=tuple(bands), fixed_params=fixed,
+    eq = Equaliser(sample_rate=sample_rate, bands=tuple(bands), fixed_params=fixed,
              gain_range=(gain, gain))
     reverb = _make_processor("reverb", sample_rate, ir_bank)
     return AugmentationChain(

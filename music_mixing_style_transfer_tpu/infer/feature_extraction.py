@@ -50,9 +50,8 @@ def main(argv=None) -> int:
         audio = read_wav_stereo_ct(path)
         with meter.measure(audio.shape[-1]):
             emb = engine.embed_song(audio, args.segment_length)
-        out_path = path.replace(args.target_dir, output_dir).replace(
-            ".wav", "_fx_embedding.npy"
-        )
+        rel = os.path.relpath(path, args.target_dir)
+        out_path = os.path.join(output_dir, os.path.splitext(rel)[0] + "_fx_embedding.npy")
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         np.save(out_path, emb)
     log.info("done; RTF=%.1fx", meter.rtf)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FXencoderConfig, InferenceConfig, TCNConfig
-from ..data.segments import pad_to_batches, reassemble_song, segment_song
+from ..data.segments import pad_to_batches, reassemble_song, segment_song, segment_song_halo
 from ..data.wavio import read_wav_stereo_ct, write_wav
 from ..models import FXencoder, MixFXcloner
 from ..models.checkpoints import load_model_variables
@@ -166,10 +166,20 @@ class StyleTransferEngine:
 
     # ------------------------------------------------------------------
     def embed_song(self, audio: np.ndarray, segment_length: int) -> np.ndarray:
-        """Mean FXencoder embedding of a whole ``[2, T]`` song."""
-        if audio.shape[-1] < segment_length:
-            audio = np.pad(audio, ((0, 0), (0, segment_length - audio.shape[-1])))
-        segments, _ = segment_song(audio, segment_length)
+        """Mean FXencoder embedding of a whole ``[2, T]`` song.
+
+        Reference parity (``style_transfer.py:133``): stems up to twice the
+        segment length are encoded WHOLE — zero-padding them to segment
+        boundaries would hand the mean a mostly-silent segment and dilute
+        the style embedding. Short stems are bucketed to 4096 samples
+        (< 0.1 s of zeros) for shape stability.
+        """
+        T = audio.shape[-1]
+        if T <= 2 * segment_length:
+            Tb = max(-(-T // 4096) * 4096, 4096)
+            segments = np.pad(audio, ((0, 0), (0, Tb - T)))[None]
+        else:
+            segments, _ = segment_song(audio, segment_length)
         n_valid = segments.shape[0]
         segments, _ = pad_to_batches(segments, self._pad_bucket(n_valid))
         mask = np.arange(segments.shape[0]) < n_valid
@@ -203,14 +213,7 @@ class StyleTransferEngine:
             out = self._convert(self.conv_vars, jnp.asarray(segments), jnp.asarray(embedding))
             return reassemble_song(np.asarray(out)[:n_valid], T)
 
-        n_seg = max(-(-T // segment_length), 1)
-        padded = np.pad(
-            audio, ((0, 0), (halo, halo + n_seg * segment_length - T))
-        )
-        starts = np.arange(n_seg) * segment_length
-        segs = np.stack(
-            [padded[:, s : s + segment_length + 2 * halo] for s in starts]
-        )
+        segs = segment_song_halo(audio, segment_length, halo)
         n_valid = segs.shape[0]
         segs, _ = pad_to_batches(segs, self._pad_bucket(n_valid))
         out = np.asarray(
@@ -299,14 +302,13 @@ class MixingStyleTransfer:
         for inst in cfg.instruments:
             x = input_stems[inst]
             r = reference_stems[inst]
-            if True:
-                emb_a = self.engine.embed_song(r, cfg.segment_length_ref)
-                emb_b = self.engine.embed_song(
-                    reference_stems_b[inst], cfg.segment_length_ref
-                )
-                y = self.engine.convert_song_interpolated(
-                    x, emb_a, emb_b, cfg.interpolate_segments
-                )
+            emb_a = self.engine.embed_song(r, cfg.segment_length_ref)
+            emb_b = self.engine.embed_song(
+                reference_stems_b[inst], cfg.segment_length_ref
+            )
+            y = self.engine.convert_song_interpolated(
+                x, emb_a, emb_b, cfg.interpolate_segments
+            )
             outputs[inst] = y
             mixture = y if mixture is None else mixture + y
         return mixture, outputs
@@ -320,25 +322,37 @@ class MixingStyleTransfer:
         cfg = self.cfg
         insts = list(cfg.instruments)
 
-        # --- reference: one encoder dispatch over all stems' segments ---
-        ref_segs, ref_groups = [], []
-        for gi, inst in enumerate(insts):
-            r = reference_stems[inst]
-            if r.shape[-1] < cfg.segment_length_ref:
-                r = np.pad(r, ((0, 0), (0, cfg.segment_length_ref - r.shape[-1])))
-            segs, _ = segment_song(r, cfg.segment_length_ref)
-            ref_segs.append(segs)
-            ref_groups.extend([gi] * segs.shape[0])
-        ref_all = np.concatenate(ref_segs, axis=0)
-        ref_all, n_valid = pad_to_batches(ref_all, self.engine._pad_bucket(ref_all.shape[0]))
-        onehot = np.zeros((len(insts), ref_all.shape[0]), np.float32)
-        for j, g in enumerate(ref_groups):
-            onehot[g, j] = 1.0
-        embs = np.asarray(
-            self.engine._encode_group_mean(
-                self.engine.enc_vars, jnp.asarray(ref_all), jnp.asarray(onehot)
+        # --- reference embeddings: stems long enough to segmentize share
+        # one grouped encoder dispatch; short stems are encoded whole
+        # (reference parity, see embed_song) ---
+        long_insts = [
+            i for i in insts
+            if reference_stems[i].shape[-1] > 2 * cfg.segment_length_ref
+        ]
+        emb_by_inst: Dict[str, np.ndarray] = {}
+        if long_insts:
+            ref_segs, ref_groups = [], []
+            for gi, inst in enumerate(long_insts):
+                segs, _ = segment_song(reference_stems[inst], cfg.segment_length_ref)
+                ref_segs.append(segs)
+                ref_groups.extend([gi] * segs.shape[0])
+            ref_all = np.concatenate(ref_segs, axis=0)
+            ref_all, _ = pad_to_batches(ref_all, self.engine._pad_bucket(ref_all.shape[0]))
+            onehot = np.zeros((len(long_insts), ref_all.shape[0]), np.float32)
+            for j, g in enumerate(ref_groups):
+                onehot[g, j] = 1.0
+            grouped = np.asarray(
+                self.engine._encode_group_mean(
+                    self.engine.enc_vars, jnp.asarray(ref_all), jnp.asarray(onehot)
+                )
             )
-        )  # [n_inst, D]
+            emb_by_inst.update({i: grouped[gi] for gi, i in enumerate(long_insts)})
+        for inst in insts:
+            if inst not in emb_by_inst:
+                emb_by_inst[inst] = self.engine.embed_song(
+                    reference_stems[inst], cfg.segment_length_ref
+                )
+        embs = np.stack([emb_by_inst[i] for i in insts])  # [n_inst, D]
 
         # --- input: one converter dispatch over all stems' segments ---
         halo = int(getattr(cfg, "segment_halo", 0) or 0)
@@ -347,16 +361,7 @@ class MixingStyleTransfer:
             x = input_stems[inst]
             in_lens.append(x.shape[-1])
             if halo > 0:
-                n_seg = max(-(-x.shape[-1] // cfg.segment_length), 1)
-                padded = np.pad(
-                    x, ((0, 0), (halo, halo + n_seg * cfg.segment_length - x.shape[-1]))
-                )
-                segs = np.stack(
-                    [
-                        padded[:, s : s + cfg.segment_length + 2 * halo]
-                        for s in np.arange(n_seg) * cfg.segment_length
-                    ]
-                )
+                segs = segment_song_halo(x, cfg.segment_length, halo)
             else:
                 xp = x
                 if xp.shape[-1] < cfg.segment_length:
@@ -433,7 +438,7 @@ class MixingStyleTransfer:
 
             mixture, outputs = self.transfer_stems(input_stems, reference_stems, ref_b)
 
-            out_dir = song_dir.replace(target_dir, output_dir)
+            out_dir = os.path.join(output_dir, os.path.relpath(song_dir, target_dir))
             os.makedirs(out_dir, exist_ok=True)
             if cfg.save_each_inst:
                 for inst, y in outputs.items():

@@ -141,7 +141,9 @@ def _torch_conv_init(in_ch: int, kernel_size: int, groups: int = 1):
     fan_in = (in_ch // groups) * kernel_size
 
     def kernel_init(key, shape, dtype=jnp.float32):
-        bound = 1.0 / math.sqrt(fan_in) * math.sqrt(3.0)  # gain sqrt(3) for uniform kaiming
+        # kaiming_uniform(a=sqrt(5)): gain sqrt(1/3) * sqrt(3/fan_in)
+        # collapses to exactly 1/sqrt(fan_in)
+        bound = 1.0 / math.sqrt(fan_in)
         return jax.random.uniform(key, shape, dtype, -bound, bound)
 
     def bias_init(key, shape, dtype=jnp.float32):

@@ -22,14 +22,18 @@ def _fill(rng: np.random.Generator, path: str, shape) -> np.ndarray:
     if name in ("scale",) or name == "var":
         return np.ones(shape, np.float32)
     if name in ("bias",) and len(shape) == 1:
-        # keep small uniform like torch bias init
+        # approximate torch bias init: the true bound is 1/sqrt(fan_in) but
+        # fan_in isn't derivable from the bias shape alone; out-features is
+        # the available stand-in (fine: fast_init serves speed, not parity)
         bound = 1.0 / math.sqrt(max(shape[0], 1))
         return rng.uniform(-bound, bound, shape).astype(np.float32)
     if name == "mean":
         return np.zeros(shape, np.float32)
     if len(shape) >= 2:
+        # matches the modules' kernel init: U(+-1/sqrt(fan_in)) with
+        # fan_in = prod(shape[1:]) (torch layout [out, in, k] / [out, in])
         fan_in = int(np.prod(shape[1:]))
-        bound = math.sqrt(3.0) / math.sqrt(max(fan_in, 1))
+        bound = 1.0 / math.sqrt(max(fan_in, 1))
         return rng.uniform(-bound, bound, shape).astype(np.float32)
     return rng.uniform(-0.05, 0.05, shape).astype(np.float32)
 

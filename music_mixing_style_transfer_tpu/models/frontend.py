@@ -103,10 +103,18 @@ class BackEnd:
         return istft(jnp.swapaxes(spec_bt, -1, -2), self.hop_length, self.window, center=True)
 
     def _restore_nyquist(self, feats: jnp.ndarray) -> jnp.ndarray:
-        """Re-append the dropped Nyquist bin as zeros (reference pads the
-        highest frequency back, :124-126)."""
+        """Re-append the dropped Nyquist bin as zeros (cplx-mode features
+        drop the TOP bin, FrontEnd :61)."""
         pad = jnp.zeros(feats.shape[:-2] + (1, feats.shape[-1]), feats.dtype)
         return jnp.concatenate([feats, pad], axis=-2)
+
+    def _restore_dc(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """Prepend the dropped DC bin as zeros: mag-mode features drop bin 0
+        (FrontEnd :75), and the reference BackEnd likewise prepends
+        (``front_back_end.py:124-126`` — ``cat((pad, input))``; its comment
+        says "highest frequency" but the code pads the lowest)."""
+        pad = jnp.zeros(feats.shape[:-2] + (1, feats.shape[-1]), feats.dtype)
+        return jnp.concatenate([pad, feats], axis=-2)
 
     def cplx_to_wave(self, feats: jnp.ndarray) -> jnp.ndarray:
         """``[B, 2*C, bins-1, frames]`` (real/imag interleaved per channel)
@@ -123,8 +131,8 @@ class BackEnd:
         """``mag/phase [B, C, bins-1, frames]`` -> ``[B, C, T]``."""
         waves = []
         for c in range(mag.shape[1]):
-            m = self._restore_nyquist(mag[:, c])
-            p = self._restore_nyquist(phase[:, c])
+            m = self._restore_dc(mag[:, c])
+            p = self._restore_dc(phase[:, c])
             waves.append(self._istft(m * jnp.exp(1j * p)))
         return jnp.stack(waves, axis=1)
 

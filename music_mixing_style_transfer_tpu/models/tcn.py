@@ -143,7 +143,7 @@ class MixFXcloner(nn.Module):
         cond: Union[jnp.ndarray, Sequence[jnp.ndarray]],
     ) -> jnp.ndarray:
         cfg = self.config
-        per_block_cond = not isinstance(cond, jnp.ndarray)
+        per_block_cond = isinstance(cond, (list, tuple))
         h = jnp.swapaxes(x, -1, -2) if self.channels_last else x
         in_ch = cfg.ninputs
         for n in range(cfg.nblocks):
@@ -169,7 +169,9 @@ class MixFXcloner(nn.Module):
         w = self.param("output_weight", k_init, (cfg.noutputs, in_ch, 1))
         b = self.param("output_bias", b_init, (cfg.noutputs,))
         if self.channels_last:
-            out = jnp.dot(h, w[:, :, 0].T) + b[None, None, :]
+            from .blocks import get_conv_precision
+
+            out = jnp.dot(h, w[:, :, 0].T, precision=get_conv_precision()) + b[None, None, :]
             out = jnp.swapaxes(out, -1, -2)
         else:
             out = conv1d(h, w, b)

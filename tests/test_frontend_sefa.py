@@ -98,15 +98,15 @@ def test_backend_mag_phase_roundtrip(rng):
     spec_r = stft(x[:, 1], n_fft, hop, win, center=True)
     mag = jnp.stack(
         [jnp.abs(jnp.swapaxes(spec_l, -1, -2)), jnp.abs(jnp.swapaxes(spec_r, -1, -2))], 1
-    )[:, :, :-1]  # drop Nyquist like FrontEnd
+    )[:, :, 1:]  # drop DC like FrontEnd's mag mode (frontend.py:75)
     ph = jnp.stack(
         [jnp.angle(jnp.swapaxes(spec_l, -1, -2)), jnp.angle(jnp.swapaxes(spec_r, -1, -2))], 1
-    )[:, :, :-1]
+    )[:, :, 1:]
     y = np.asarray(be.mag_phase_to_wave(mag, ph))
     ref = np.asarray(x)
     n = min(ref.shape[-1], y.shape[-1])
     err = np.sqrt(np.mean((y[..., hop : n - n_fft] - ref[..., hop : n - n_fft]) ** 2))
-    assert err < 0.02  # Nyquist-zeroing loss only
+    assert err < 0.02  # DC-zeroing loss only
 
 
 def test_frontend_hamming_window(rng):

@@ -286,3 +286,34 @@ def test_checkpoint_loader_rejects_garbage(tmp_path):
     os.makedirs(empty)
     with pytest.raises(FileNotFoundError):
         load_model_variables(str(empty), "fxencoder")
+
+
+def test_short_reference_encoded_whole(rng):
+    """Stems <= 2x segment length are embedded WHOLE (reference
+    style_transfer.py:133) — not zero-padded into a mostly-silent second
+    segment that dilutes the mean embedding."""
+    from music_mixing_style_transfer_tpu.config import FXencoderConfig, TCNConfig
+    from music_mixing_style_transfer_tpu.infer.pipeline import StyleTransferEngine
+
+    enc_cfg = FXencoderConfig(channels=(8, 16), kernels=(25, 15), strides=(4, 4), dilation=(1, 1))
+    tcn_cfg = TCNConfig(condition_dimension=enc_cfg.embed_dim, nblocks=2, channel_width=8, kernel_size=7)
+    eng = StyleTransferEngine(encoder_cfg=enc_cfg, converter_cfg=tcn_cfg)
+    seg = 8192
+    T = int(1.5 * seg)
+    audio = (rng.standard_normal((2, T)) * 0.2).astype(np.float32)
+
+    got = eng.embed_song(audio, seg)
+    # expected: one whole-stem forward, bucketed to 4096
+    Tb = -(-T // 4096) * 4096
+    whole = np.pad(audio, ((0, 0), (0, Tb - T)))[None]
+    want = np.asarray(
+        eng._encode_mean(
+            eng.enc_vars, jnp.asarray(whole), jnp.asarray(np.ones(1, bool))
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # long stems still segmentize
+    long_audio = (rng.standard_normal((2, 3 * seg)) * 0.2).astype(np.float32)
+    e_long = eng.embed_song(long_audio, seg)
+    assert e_long.shape == got.shape and np.isfinite(e_long).all()
