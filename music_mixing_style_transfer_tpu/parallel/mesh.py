@@ -26,6 +26,15 @@ def create_mesh(
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available "
+                f"({[d.platform for d in devices]}); for a virtual CPU mesh "
+                "set JAX_PLATFORMS=cpu and "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N before "
+                "JAX backend init"
+            )
         devices = devices[:n_devices]
     arr = np.array(devices)
     if len(axis_names) > 1:
