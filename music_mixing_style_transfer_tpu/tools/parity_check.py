@@ -8,7 +8,12 @@ framework's models, and the report prints embedding cosine / waveform error.
 
     python -m music_mixing_style_transfer_tpu.tools.parity_check \
         --enc weights/FXencoder_ps.pt [--conv weights/MixFXcloner_ps.pt] \
-        [--wav song.wav] [--seconds 5]
+        [--wav song.wav] [--seconds 5] [--reference_root /root/reference]
+
+With ``--reference_root`` pointing at a checkout of the reference repo, the
+torch side runs the reference's REAL ``FXencoder``/``TCNModel`` classes
+(via ``tools/reference_import.py``) instead of the functional state_dict
+forward — the strongest possible fidelity check against published weights.
 """
 from __future__ import annotations
 
@@ -99,15 +104,51 @@ def torch_mixfxcloner_forward(
         return torch.clamp(out, -1, 1).numpy()
 
 
+# ------------------------------------------------- real-reference torch side
+def _reference_fxencoder_forward(
+    sd: Dict[str, np.ndarray], x: np.ndarray, reference_root: str
+) -> np.ndarray:
+    """Forward through the reference repo's REAL FXencoder class."""
+    import torch
+
+    from .reference_import import build_reference_fxencoder, import_reference_networks
+
+    arch = import_reference_networks(reference_root)
+    model = build_reference_fxencoder(arch, reference_root)
+    model.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()})
+    model.eval()
+    with torch.no_grad():
+        return model(torch.from_numpy(x)).numpy()
+
+
+def _reference_mixfxcloner_forward(
+    sd: Dict[str, np.ndarray], x: np.ndarray, cond: np.ndarray, reference_root: str
+) -> np.ndarray:
+    """Forward through the reference repo's REAL TCNModel class."""
+    import torch
+
+    from .reference_import import build_reference_tcn, import_reference_networks
+
+    arch = import_reference_networks(reference_root)
+    model = build_reference_tcn(arch, reference_root)
+    model.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()})
+    model.eval()
+    with torch.no_grad():
+        return model(torch.from_numpy(x), torch.from_numpy(cond)).numpy()
+
+
 # ---------------------------------------------------------------- report
-def check_encoder(enc_ckpt: str, x: np.ndarray) -> float:
+def check_encoder(enc_ckpt: str, x: np.ndarray, reference_root: str = None) -> float:
     import jax.numpy as jnp
 
     from ..models import FXencoder
     from ..models.torch_import import fxencoder_from_torch, load_torch_state_dict
 
     sd = load_torch_state_dict(enc_ckpt)
-    ref = torch_fxencoder_forward(sd, x)
+    if reference_root:
+        ref = _reference_fxencoder_forward(sd, x, reference_root)
+    else:
+        ref = torch_fxencoder_forward(sd, x)
     variables = fxencoder_from_torch(sd)
     ours = np.asarray(FXencoder().apply(variables, jnp.asarray(x)))
     cos = float(
@@ -120,14 +161,19 @@ def check_encoder(enc_ckpt: str, x: np.ndarray) -> float:
     return cos
 
 
-def check_converter(conv_ckpt: str, x: np.ndarray, cond: np.ndarray) -> float:
+def check_converter(
+    conv_ckpt: str, x: np.ndarray, cond: np.ndarray, reference_root: str = None
+) -> float:
     import jax.numpy as jnp
 
     from ..models import MixFXcloner
     from ..models.torch_import import load_torch_state_dict, mixfxcloner_from_torch
 
     sd = load_torch_state_dict(conv_ckpt)
-    ref = torch_mixfxcloner_forward(sd, x, cond)
+    if reference_root:
+        ref = _reference_mixfxcloner_forward(sd, x, cond, reference_root)
+    else:
+        ref = torch_mixfxcloner_forward(sd, x, cond)
     variables = mixfxcloner_from_torch(sd)
     ours = np.asarray(MixFXcloner().apply(variables, jnp.asarray(x), jnp.asarray(cond)))
     err = float(np.sqrt(np.mean((ref - ours) ** 2)) / (np.sqrt(np.mean(ref**2)) + 1e-12))
@@ -141,6 +187,13 @@ def main(argv=None) -> int:
     p.add_argument("--conv", type=str, default=None)
     p.add_argument("--wav", type=str, default=None)
     p.add_argument("--seconds", type=float, default=5.0)
+    p.add_argument(
+        "--reference_root",
+        type=str,
+        default=None,
+        help="path to a reference-repo checkout; torch side then runs the "
+        "REAL reference model classes instead of the functional forward",
+    )
     args = p.parse_args(argv)
 
     if args.wav:
@@ -152,10 +205,10 @@ def main(argv=None) -> int:
     x = np.asarray(x, np.float32)
 
     if args.enc:
-        check_encoder(args.enc, x)
+        check_encoder(args.enc, x, args.reference_root)
     if args.conv:
         cond = np.random.default_rng(1).standard_normal((1, 2048)).astype(np.float32)
-        check_converter(args.conv, x, cond)
+        check_converter(args.conv, x, cond, args.reference_root)
     if not (args.enc or args.conv):
         p.error("provide --enc and/or --conv checkpoint paths")
     return 0

@@ -91,11 +91,15 @@ def make_contrastive_train_step(
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         if axis_name is not None:
-            # the NT-Xent loss is already the *global* (gathered) objective; each
-            # shard's grad is its partial contribution, so psum reconstructs the
-            # exact single-device gradient (DDP's extra 1/W average is a pure
-            # LR rescale — we keep global-batch semantics instead)
-            grads = jax.lax.psum(grads, axis_name)
+            # each shard's loss is already the *global* (gathered) objective, so
+            # the all_gather transpose has already psum-ed the cotangents from
+            # every shard into the local activations: shard k's grad is
+            # W * (shard k's partial of dL/dparams). pmean (= psum / W)
+            # therefore reconstructs the exact single-device gradient — psum
+            # here would double-count by a factor of W (verified grad-level in
+            # tests/test_train.py::test_contrastive_sharded_matches_single;
+            # Adam's scale invariance masked this in round 1)
+            grads = jax.lax.pmean(grads, axis_name)
             new_stats = jax.lax.pmean(new_stats, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -47,11 +47,20 @@ def test_contrastive_sharded_matches_single(rng):
     batch (the all_gather reproduces full-batch negatives; psum reconstructs
     the exact global gradient). BatchNorm is disabled for exactness — with BN
     the sharded step uses per-shard statistics like the reference's
-    per-replica BN (SyncBatchNorm commented out, network_utils.py:75-76)."""
+    per-replica BN (SyncBatchNorm commented out, network_utils.py:75-76).
+
+    Uses plain SGD so the one-step param delta IS ``-lr * grad``: the
+    comparison is grad-level and immune to Adam's rsqrt amplification of
+    f32 reduction-order noise (the previous absolute post-Adam bound flaked)."""
+    import optax
+
     cfg = FXencoderConfig(
         channels=(8, 16), kernels=(25, 15), strides=(4, 4), dilation=(1, 1), norm="none"
     )
-    enc, state, tx = init_contrastive(cfg, example_length=T, seed=3)
+    enc, state0, _ = init_contrastive(cfg, example_length=T, seed=3)
+    lr = 0.05
+    tx = optax.sgd(lr)
+    state = create_train_state(state0.variables(), tx)
     a = jnp.asarray(rng.standard_normal((1, 8, 2, T)).astype(np.float32) * 0.2)
     b = jnp.asarray(rng.standard_normal((1, 8, 2, T)).astype(np.float32) * 0.2)
 
@@ -62,12 +71,15 @@ def test_contrastive_sharded_matches_single(rng):
     sharded = make_sharded_contrastive_step(enc, tx, mesh, 0.1)
     s2, loss2 = sharded(state, a, b)
 
-    assert abs(float(loss1) - float(loss2)) < 1e-4
-    # parameters after one step agree
-    d = jax.tree.map(
-        lambda x, y: float(jnp.max(jnp.abs(x - y))), s1.params, s2.params
-    )
-    assert max(jax.tree.leaves(d)) < 5e-5
+    assert abs(float(loss1) - float(loss2)) < 1e-5 * max(1.0, abs(float(loss1)))
+    # effective gradients (param deltas / lr) agree to relative precision
+    for p0, p1, p2 in zip(
+        jax.tree.leaves(state.params), jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)
+    ):
+        g1 = (np.asarray(p0) - np.asarray(p1)) / lr
+        g2 = (np.asarray(p0) - np.asarray(p2)) / lr
+        scale = max(float(np.max(np.abs(g1))), 1e-3)
+        assert float(np.max(np.abs(g1 - g2))) < 1e-3 * scale
 
 
 def test_converter_step_runs(rng):
