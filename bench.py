@@ -1,48 +1,51 @@
 """Benchmark: whole-song mixing-style-transfer throughput on one chip.
 
-Measures the production inference path (reference ``style_transfer.py:112-177``
-semantics): FXencoder over the reference song's segments + MixFXcloner over
-every input segment, at the reference's production shapes
-(segment_length = 2^19 samples @ 44.1 kHz stereo).
+Two measurements (reference ``style_transfer.py:112-177`` semantics):
 
-Prints ONE JSON line:
-  {"metric": "style_transfer_rtf", "value": <audio-seconds processed per
-   wall-second per chip>, "unit": "x_realtime", "vs_baseline": value/50}
+1. **model-only RTF** — jitted FXencoder (reference segments) + MixFXcloner
+   (input segments) at production shapes (2^19-sample segments), bf16 and
+   f32: the pure device compute ceiling.
+2. **end-to-end RTF** — a real whole song (the reference repo's shipped
+   sample stems, tiled to ~60 s) through the production ``run_directory``
+   path: WAV read + batched FX normalization + segmentation + encoder
+   embedding mean + converter + reassembly + WAV write, i.e. everything a
+   user's CLI run does after checkpoint load. Reported for both the
+   device-resident PCM fast path (``e2e_rtf``, the default path) and the
+   per-stage host path (``e2e_host_rtf``).
+3. **feature-extraction RTF** — the ``feature_extraction`` CLI hot path
+   (segment + encode + mean embedding).
+
+Prints ONE JSON line; ``value`` stays the headline bf16 model RTF
+(driver contract), with the honest numbers alongside:
+  {"metric": "style_transfer_rtf", "value": ..., "unit": "x_realtime",
+   "vs_baseline": value/50, "model_rtf_f32": ..., "e2e_rtf": ...,
+   "e2e_host_rtf": ..., "feature_rtf": ...}
 (baseline: the north-star RTF >= 50x from BASELINE.md.)
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+SEG = 2**19  # reference production segment length (style_transfer.py:362)
+SR = 44100
+SAMPLES = "/root/reference/samples"
 
-def main() -> int:
-    p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=16, help="segments per forward")
-    p.add_argument("--iters", type=int, default=10)
-    p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
-    p.add_argument("--seconds", type=float, default=None, help="ignored; for compat")
-    args = p.parse_args()
 
+def model_only_rtf(args, dtype_str: str) -> float:
     import jax
-
-    from music_mixing_style_transfer_tpu.utils.cache import enable_compile_cache
-
-    enable_compile_cache()
     import jax.numpy as jnp
 
-    from music_mixing_style_transfer_tpu.config import FXencoderConfig, TCNConfig
     from music_mixing_style_transfer_tpu.models import FXencoder, MixFXcloner
     from music_mixing_style_transfer_tpu.models.fast_init import fast_init
 
-    SEG = 2**19  # reference production segment length (style_transfer.py:362)
-    SR = 44100
     B = args.batch
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
 
     enc = FXencoder()
     tcn = MixFXcloner()
@@ -75,15 +78,140 @@ def main() -> int:
     _ = float(jnp.sum(out.astype(jnp.float32)))  # device sync
     dt = (time.perf_counter() - t0) / args.iters
 
-    audio_seconds = B * SEG / SR  # input audio converted per call
-    rtf = audio_seconds / dt
+    return B * SEG / SR / dt
+
+
+def _tiled_song_stems(name_dir: str, seconds: float, out_dir: str, tag: str):
+    """Tile the ~15 s reference sample stems to ``seconds`` and write them to
+    disk (as ``<out_dir>/<inst>.wav``) so the benched path includes real WAV
+    reads."""
+    from music_mixing_style_transfer_tpu.data.wavio import read_wav_stereo_ct, write_wav
+
+    paths = {}
+    T = int(seconds * SR)
+    for inst in ("drums", "bass", "other", "vocals"):
+        x = read_wav_stereo_ct(os.path.join(name_dir, inst + ".wav"))
+        reps = int(np.ceil(T / x.shape[1]))
+        x = np.tile(x, (1, reps))[:, :T]
+        p = os.path.join(out_dir, inst + ".wav")
+        write_wav(p, x.T)
+        paths[inst] = p
+    return paths
+
+
+def e2e_rtf(args) -> dict:
+    """Whole-song style transfer through the production CLI path
+    (``run_directory``): WAV read, FX normalization, segmentation, encoder
+    embedding mean, converter, reassembly, WAV write. Times both the
+    device-resident PCM fast path (the production default) and the
+    per-stage host path (``--pcm_fast_path false``)."""
+    import dataclasses
+
+    from music_mixing_style_transfer_tpu.config import InferenceConfig, NormalizationConfig
+    from music_mixing_style_transfer_tpu.data.wavio import read_wav_stereo_ct
+    from music_mixing_style_transfer_tpu.infer.pipeline import (
+        MixingStyleTransfer,
+        StyleTransferEngine,
+    )
+    from music_mixing_style_transfer_tpu.normalize import AudioEffectsNormalizer
+
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "music_mixing_style_transfer_tpu", "weights")
+    tmp = "/tmp/bench_e2e"
+    song = os.path.join(tmp, "songs", "song0", "separated", "mdx_extra")
+    _tiled_song_stems(
+        f"{SAMPLES}/style_transfer/#0/separated/mdx_extra/input",
+        args.seconds, _ensure(os.path.join(song, "input")), "input",
+    )
+    _tiled_song_stems(
+        f"{SAMPLES}/interpolation/#0/separated/mdx_extra/reference",
+        args.seconds, _ensure(os.path.join(song, "reference")), "reference",
+    )
+
+    normalizer = AudioEffectsNormalizer(
+        os.path.join(here, "musdb18_fxfeatures_eqcompimagegain.npy"),
+        NormalizationConfig(),
+    )
+    engine = StyleTransferEngine(dtype=args.dtype)
+    out = {}
+    for key, fast in (("e2e_rtf", True), ("e2e_host_rtf", False)):
+        cfg = InferenceConfig(
+            batch_size=args.batch, dtype=args.dtype, pcm_fast_path=fast
+        )
+        pipeline = MixingStyleTransfer(engine, cfg, normalizer=normalizer)
+
+        def run():
+            t0 = time.perf_counter()
+            written = pipeline.run_directory(
+                os.path.join(tmp, "songs"), os.path.join(tmp, "out")
+            )
+            dt = time.perf_counter() - t0
+            y = read_wav_stereo_ct(written[0])
+            assert np.isfinite(y).all() and np.abs(y).max() > 1e-4
+            return dt
+
+        run()  # compile + cache warmup (all shapes identical on 2nd run)
+        out[key] = args.seconds / run()
+        if fast and args.skip_e2e_host:
+            break
+    return out
+
+
+def _ensure(d: str) -> str:
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def feature_rtf(args) -> float:
+    """Feature-extraction CLI hot path: segment + encode + mean embedding."""
+    from music_mixing_style_transfer_tpu.data.wavio import read_wav_stereo_ct
+    from music_mixing_style_transfer_tpu.infer.pipeline import StyleTransferEngine
+
+    engine = StyleTransferEngine(dtype=args.dtype)
+    x = read_wav_stereo_ct(
+        "/tmp/bench_e2e/songs/song0/separated/mdx_extra/input/other.wav"
+    )
+    engine.embed_song(x, SEG)  # warmup
+    t0 = time.perf_counter()
+    emb = engine.embed_song(x, SEG)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(emb).all()
+    return x.shape[1] / SR / dt
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16, help="segments per forward")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    p.add_argument("--seconds", type=float, default=60.0, help="e2e song length")
+    p.add_argument("--skip_e2e", action="store_true")
+    p.add_argument("--skip_e2e_host", action="store_true",
+                   help="skip the (slow) per-stage host-path e2e comparison")
+    args = p.parse_args()
+
+    from music_mixing_style_transfer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    rtf_bf16 = model_only_rtf(args, "bfloat16")
+    rtf_f32 = model_only_rtf(args, "float32")
+
+    extra = {}
+    if not args.skip_e2e and os.path.isdir(SAMPLES):
+        e2e = e2e_rtf(args)
+        extra.update({k: round(v, 1) for k, v in e2e.items()})
+        extra["feature_rtf"] = round(feature_rtf(args), 1)
+
     print(
         json.dumps(
             {
                 "metric": "style_transfer_rtf",
-                "value": round(rtf, 1),
+                "value": round(rtf_bf16, 1),
                 "unit": "x_realtime",
-                "vs_baseline": round(rtf / 50.0, 2),
+                "vs_baseline": round(rtf_bf16 / 50.0, 2),
+                "model_rtf_f32": round(rtf_f32, 1),
+                **extra,
             }
         )
     )

@@ -119,6 +119,11 @@ class InferenceConfig:
     # context halo per segment (samples) to suppress boundary artifacts;
     # 0 = reference behaviour (independent zero-context segments)
     segment_halo: int = 0
+    # device-resident whole-song path: upload stems once as int16 PCM,
+    # normalize/segment/encode/convert/sum on device, download one int16
+    # mixture (5x less host<->device traffic; falls back to the host path
+    # for interpolation, halo, or non-16-bit sources)
+    pcm_fast_path: bool = True
 
 
 @dataclass(frozen=True)

@@ -56,12 +56,19 @@ def read_wav(
 
 
 def write_wav(path: str, audio: np.ndarray, rate: int = 44100) -> None:
-    """Write float audio ``[T, C]`` (or ``[T]``) as 16-bit PCM."""
-    audio = np.nan_to_num(np.asarray(audio), nan=0.0, posinf=1.0, neginf=-1.0)
+    """Write audio ``[T, C]`` (or ``[T]``) as 16-bit PCM.
+
+    Float input is scaled/clipped; ``int16`` input is written verbatim (the
+    device-resident inference path quantizes on device and downloads PCM)."""
+    audio = np.asarray(audio)
     if audio.ndim == 1:
         audio = audio[:, None]
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    pcm = np.clip(np.round(audio * 2.0**15), -(2.0**15), 2.0**15 - 1).astype("<i2")
+    if audio.dtype == np.int16:
+        pcm = audio.astype("<i2", copy=False)
+    else:
+        audio = np.nan_to_num(audio, nan=0.0, posinf=1.0, neginf=-1.0)
+        pcm = np.clip(np.round(audio * 2.0**15), -(2.0**15), 2.0**15 - 1).astype("<i2")
     with wave.open(path, "w") as w:
         w.setnchannels(audio.shape[1])
         w.setsampwidth(2)
@@ -76,3 +83,23 @@ def read_wav_stereo_ct(path: str, expected_rate: Optional[int] = 44100) -> np.nd
     if x.shape[0] == 1:
         x = np.repeat(x, 2, axis=0)
     return x
+
+
+def read_wav_stereo_ct_i16(path: str, expected_rate: Optional[int] = 44100) -> np.ndarray:
+    """Read whole 16-bit PCM file as RAW ``[2, T]`` int16 (mono duplicated).
+
+    The device-resident inference path uploads PCM and dequantizes on device
+    — half the host->device traffic of float32 with zero quality loss
+    (``x/32768`` reproduces :func:`read_wav` exactly)."""
+    with wave.open(path, "r") as w:
+        rate = w.getframerate()
+        if expected_rate is not None and rate != expected_rate:
+            raise ValueError(f"{path}: sample rate {rate} != expected {expected_rate}")
+        if w.getsampwidth() != 2:
+            raise ValueError(f"{path}: int16 fast path needs 16-bit PCM")
+        n_channels = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").reshape(-1, n_channels).T
+    if x.shape[0] == 1:
+        x = np.repeat(x, 2, axis=0)
+    return np.ascontiguousarray(x)

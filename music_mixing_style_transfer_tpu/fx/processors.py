@@ -200,22 +200,31 @@ class Monauralize:
 # Distortion
 # ===========================================================================
 class Distortion:
-    """Distortion: hard_clip / soft_sine / tanh / bit_crusher
-    (reference ``common_audioeffects.py:296-366``; the sox 'overdrive' mode is
-    excluded — it is never enabled in the shipped training chains)."""
+    """Distortion: hard_clip / overdrive / soft_sine / tanh / bit_crusher
+    (reference ``common_audioeffects.py:296-366``, same mode order).
+
+    'overdrive' replaces the reference's libsox call (:242-244) with the same
+    signal structure in pure JAX: pre-gain, colour DC offset, cubic soft
+    clipper (``d - d^3/3`` clamped to +-2/3), DC-blocking one-pole highpass
+    (r=0.995), 3:1 wet/dry mix. The mode is disabled in every shipped
+    training chain (it only exists behind the general augmentation factory),
+    so sample-exact libsox parity is not claimed."""
 
     name = "distortion"
 
     def sample(self, key) -> Dict[str, jnp.ndarray]:
-        ks = jax.random.split(key, 4)
+        ks = jax.random.split(key, 5)
         return {
-            "mode": jax.random.randint(ks[0], (), 0, 4),
+            "mode": jax.random.randint(ks[0], (), 0, 5),
             "threshold_db": _uniform(ks[1], -20.0, 0.0),
             "drive_db": _uniform(ks[2], 0.0, 20.0),
-            "bits": jax.random.randint(ks[3], (), 8, 13),
+            "colour": _uniform(ks[3], 0.0, 100.0),
+            "bits": jax.random.randint(ks[4], (), 8, 13),
         }
 
     def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.biquad import biquad_apply_scan
+
         drive = 10.0 ** (params["drive_db"] / 20.0)
         thr = 10.0 ** (params["threshold_db"] / 20.0)
 
@@ -226,8 +235,19 @@ class Distortion:
         scale = 2.0 ** params["bits"].astype(x.dtype)
         crush = jnp.round(x * scale) / scale
 
+        def over():
+            d = x * drive + params.get("colour", jnp.asarray(20.0)) / 200.0
+            q = jnp.where(
+                d < -1.0, -2.0 / 3.0,
+                jnp.where(d > 1.0, 2.0 / 3.0, d - d**3 / 3.0),
+            )
+            dc_block = jnp.asarray([1.0, -1.0, 0.0, -0.995, 0.0], x.dtype)
+            y = biquad_apply_scan(q, dc_block)
+            return 0.75 * y + 0.25 * x
+
         y = jax.lax.switch(
-            params["mode"], [lambda: hard, lambda: soft, lambda: tanh, lambda: crush]
+            params["mode"],
+            [lambda: hard, over, lambda: soft, lambda: tanh, lambda: crush],
         )
         # normalize back up if distortion crushed the amplitude (:359-364)
         x_max = jnp.max(jnp.abs(x)) + 1e-8
@@ -502,8 +522,9 @@ class ConvolutionalReverb:
         n_buckets = self.bucket_bounds.shape[0] - 1
         b = jax.random.randint(k1, (), 0, n_buckets)
         lo, hi = self.bucket_bounds[b], self.bucket_bounds[b + 1]
-        raw = jax.random.randint(k2, (), 0, self.ir_bank.shape[0])
-        return {"index": lo + raw % jnp.maximum(hi - lo, 1)}
+        # traced bounds keep the draw uniform over the bucket (a fixed-range
+        # draw reduced mod the bucket size was modulo-biased)
+        return {"index": jax.random.randint(k2, (), lo, jnp.maximum(hi, lo + 1))}
 
     def apply(self, params, x: jnp.ndarray) -> jnp.ndarray:
         h = self.ir_bank[params["index"]]  # [2, L]

@@ -102,16 +102,25 @@ class StyleTransferEngine:
 
         # jitted kernels (cached per input bucket shape); with a mesh the
         # segment axis is sharded over 'data' and parameters replicate — XLA
-        # inserts the all-reduces for the masked means automatically
+        # inserts the all-reduces for the masked means automatically.
+        # int16 segments are accepted everywhere and dequantized on device
+        # (PCM/32768 == the host float conversion, at half the upload traffic)
+        def _in(segments):
+            if segments.dtype == jnp.int16:
+                return segments.astype(self.dtype) * jnp.asarray(
+                    1.0 / 32768.0, self.dtype
+                )
+            return segments.astype(self.dtype)
+
         def _encode_mean(enc_vars, segments, mask):
             """[N, 2, L] -> masked mean embedding [D]."""
-            x = segments.astype(self.dtype)
+            x = _in(segments)
             emb = self.encoder.apply(enc_vars, x).astype(jnp.float32)
             w = mask.astype(jnp.float32)[:, None]
             return jnp.sum(emb * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
 
         def _convert(conv_vars, segments, embedding):
-            x = segments.astype(self.dtype)
+            x = _in(segments)
             cond = jnp.broadcast_to(
                 embedding.astype(self.dtype)[None, :], (x.shape[0], embedding.shape[-1])
             )
@@ -119,14 +128,14 @@ class StyleTransferEngine:
 
         def _convert_multi(conv_vars, segments, embeddings):
             """Per-segment embeddings (interpolation mode)."""
-            x = segments.astype(self.dtype)
+            x = _in(segments)
             return self.converter.apply(
                 conv_vars, x, embeddings.astype(self.dtype)
             ).astype(jnp.float32)
 
         def _encode_group_mean(enc_vars, segments, group_onehot):
             """[N, 2, L] + group one-hot [G, N] -> per-group mean embeddings [G, D]."""
-            emb = self.encoder.apply(enc_vars, segments.astype(self.dtype)).astype(jnp.float32)
+            emb = self.encoder.apply(enc_vars, _in(segments)).astype(jnp.float32)
             w = group_onehot.astype(jnp.float32)
             return (w @ emb) / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
 
@@ -397,6 +406,94 @@ class MixingStyleTransfer:
         return mixture, outputs
 
     # ------------------------------------------------------------------
+    def transfer_song_pcm(
+        self,
+        input_pcm: np.ndarray,
+        reference_pcm: np.ndarray,
+        want_stems: bool = False,
+    ) -> Tuple[np.ndarray, Optional[Dict[str, np.ndarray]]]:
+        """Device-resident whole-song transfer from int16 PCM.
+
+        ``input_pcm``/``reference_pcm``: ``[S, 2, T]`` int16 stem stacks in
+        ``cfg.instruments`` order. The stems are uploaded ONCE as PCM
+        (half of float32 traffic), dequantized / FX-normalized / segmented /
+        encoded / converted / summed on device, and a single int16 mixture
+        ``[2, T]`` is downloaded — ~5x less host<->device traffic than the
+        per-stage host path, numerically identical modulo the final int16
+        quantization (which the WAV write performs anyway). Built for the
+        slow-link serving topology this repo benches on (DESIGN.md §4).
+
+        Returns ``(mixture_pcm [2, T] int16, stems dict | None)``.
+        """
+        cfg = self.cfg
+        insts = list(cfg.instruments)
+        S = len(insts)
+        L = cfg.segment_length
+        assert input_pcm.dtype == np.int16 and reference_pcm.dtype == np.int16
+        T = input_pcm.shape[-1]
+
+        # ---- upload once ----
+        in_dev = jnp.asarray(input_pcm)
+        ref_dev = jnp.asarray(reference_pcm)
+
+        # ---- normalization (device-resident) ----
+        Tb = -(-max(T, 1) // L) * L  # song-length bucket = whole segments
+        if self.normalizer is not None and cfg.normalize_input:
+            fft = self.normalizer.cfg.fft_size
+            x = in_dev.astype(jnp.float32) * (1.0 / 32768.0)
+            x = jnp.pad(x, ((0, 0), (0, 0), (fft, fft + Tb - T)))
+            x = self.normalizer.batched().normalize_device(x, insts, [T] * S)
+            y_in = jnp.clip(x[:, :, fft : fft + Tb], -1.0, 1.0)
+            # exact parity with the host path's zero padding: the normalizer
+            # may smear ~ntaps/2 samples of FIR tail past the true length
+            y_in = y_in * (jnp.arange(Tb) < T)[None, None, :]
+        else:
+            y_in = in_dev.astype(jnp.float32) * (1.0 / 32768.0)
+            y_in = jnp.pad(y_in, ((0, 0), (0, 0), (0, Tb - T)))
+
+        # ---- reference embeddings (PCM segments straight to the encoder) ----
+        Tr = reference_pcm.shape[-1]
+        Lr = cfg.segment_length_ref
+        if Tr > 2 * Lr:
+            # zero-pad the trailing partial segment like segment_song
+            nr = -(-Tr // Lr)
+            Trb = nr * Lr
+            ref_seg = jnp.pad(ref_dev, ((0, 0), (0, 0), (0, Trb - Tr)))
+            ref_seg = ref_seg.reshape(S, 2, nr, Lr).transpose(0, 2, 1, 3).reshape(S * nr, 2, Lr)
+        else:
+            Trb = max(-(-Tr // 4096) * 4096, 4096)
+            nr = 1
+            ref_seg = jnp.pad(ref_dev, ((0, 0), (0, 0), (0, Trb - Tr)))
+        B_ref = self.engine._pad_bucket(S * nr)
+        ref_seg = jnp.pad(ref_seg, ((0, B_ref - S * nr), (0, 0), (0, 0)))
+        onehot = np.zeros((S, B_ref), np.float32)
+        for s in range(S):
+            onehot[s, s * nr : (s + 1) * nr] = 1.0
+        embs = self.engine._encode_group_mean(
+            self.engine.enc_vars, ref_seg, jnp.asarray(onehot)
+        )  # [S, D] on device
+
+        # ---- convert all stems' segments in one dispatch ----
+        n = Tb // L
+        segs = y_in.reshape(S, 2, n, L).transpose(0, 2, 1, 3).reshape(S * n, 2, L)
+        B_in = self.engine._pad_bucket(S * n)
+        segs = jnp.pad(segs, ((0, B_in - S * n), (0, 0), (0, 0)))
+        cond = jnp.repeat(embs, n, axis=0)
+        cond = jnp.pad(cond, ((0, B_in - S * n), (0, 0)))
+        out = self.engine._convert_multi(self.engine.conv_vars, segs, cond)
+
+        # ---- reassemble + sum + quantize on device; download once ----
+        y = out[: S * n].reshape(S, n, 2, L).transpose(0, 2, 1, 3).reshape(S, 2, Tb)
+        y = y[:, :, :T]
+        mix = jnp.sum(y, axis=0)
+        pcm = jnp.clip(jnp.round(mix * 32768.0), -32768.0, 32767.0).astype(jnp.int16)
+        stems_out = None
+        if want_stems:
+            spcm = jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0).astype(jnp.int16)
+            stems_out = {inst: np.asarray(spcm[s]) for s, inst in enumerate(insts)}
+        return np.asarray(pcm), stems_out
+
+    # ------------------------------------------------------------------
     def run_directory(self, target_dir: str, output_dir: Optional[str] = None) -> List[str]:
         """Process every song directory under ``target_dir``; expects
         pre-separated stems at
@@ -419,28 +516,42 @@ class MixingStyleTransfer:
         for song_dir in sorted(glob.glob(os.path.join(target_dir, "*/"))):
             log.info("song: %s", song_dir)
 
-            def load_stems(name):
-                return {
-                    inst: read_wav_stereo_ct(
-                        os.path.join(song_dir, sep_dir, name, inst + ".wav"),
-                        expected_rate=cfg.sample_rate,
-                    ).clip(-1, 1)
-                    for inst in cfg.instruments
-                }
+            mixture = outputs = None
+            if (
+                getattr(cfg, "pcm_fast_path", True)
+                and not cfg.interpolation
+                and int(getattr(cfg, "segment_halo", 0) or 0) == 0
+            ):
+                try:
+                    mixture, outputs = self._run_song_pcm(song_dir, sep_dir)
+                except ValueError as e:  # non-16-bit / unequal stems etc.
+                    log.info("pcm fast path unavailable (%s); host path", e)
 
-            input_stems = load_stems(cfg.input_file_name)
-            reference_stems = load_stems(cfg.reference_file_name)
-            ref_b = (
-                load_stems(cfg.reference_file_name_2interpolate)
-                if cfg.interpolation
-                else None
-            )
+            if mixture is None:
 
-            mixture, outputs = self.transfer_stems(input_stems, reference_stems, ref_b)
+                def load_stems(name):
+                    return {
+                        inst: read_wav_stereo_ct(
+                            os.path.join(song_dir, sep_dir, name, inst + ".wav"),
+                            expected_rate=cfg.sample_rate,
+                        ).clip(-1, 1)
+                        for inst in cfg.instruments
+                    }
+
+                input_stems = load_stems(cfg.input_file_name)
+                reference_stems = load_stems(cfg.reference_file_name)
+                ref_b = (
+                    load_stems(cfg.reference_file_name_2interpolate)
+                    if cfg.interpolation
+                    else None
+                )
+                mixture, outputs = self.transfer_stems(
+                    input_stems, reference_stems, ref_b
+                )
 
             out_dir = os.path.join(output_dir, os.path.relpath(song_dir, target_dir))
             os.makedirs(out_dir, exist_ok=True)
-            if cfg.save_each_inst:
+            if cfg.save_each_inst and outputs:
                 for inst, y in outputs.items():
                     write_wav(
                         os.path.join(out_dir, f"{inst}_{tag}.wav"), y.T, cfg.sample_rate
@@ -449,6 +560,37 @@ class MixingStyleTransfer:
             write_wav(out_path, mixture.T, cfg.sample_rate)
             written.append(out_path)
         return written
+
+    def _run_song_pcm(self, song_dir: str, sep_dir: str):
+        """Load one song's stems as raw PCM and run the device-resident path."""
+        from ..data.wavio import read_wav_stereo_ct_i16
+
+        cfg = self.cfg
+
+        def load_pcm(name):
+            stems = [
+                read_wav_stereo_ct_i16(
+                    os.path.join(song_dir, sep_dir, name, inst + ".wav"),
+                    expected_rate=cfg.sample_rate,
+                )
+                for inst in cfg.instruments
+            ]
+            T = max(s.shape[-1] for s in stems)
+            return np.stack(
+                [np.pad(s, ((0, 0), (0, T - s.shape[-1]))) for s in stems]
+            )
+
+        t0 = __import__("time").perf_counter()
+        mixture, stems_out = self.transfer_song_pcm(
+            load_pcm(cfg.input_file_name),
+            load_pcm(cfg.reference_file_name),
+            want_stems=cfg.save_each_inst,
+        )
+        log.info(
+            "device-resident transfer: %.1fs",
+            __import__("time").perf_counter() - t0,
+        )
+        return mixture, stems_out
 
 
 def separate_with_demucs(

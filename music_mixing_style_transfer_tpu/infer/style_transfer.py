@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--interpolate_segments", type=int, default=30)
     i.add_argument("--segment_halo", type=int, default=0,
                    help="context samples per segment edge (0 = reference behaviour)")
+    i.add_argument("--pcm_fast_path", type=str2bool, default=True,
+                   help="device-resident whole-song path (upload int16 PCM "
+                        "once, normalize/convert/sum on device); false forces "
+                        "the per-stage host path")
 
     dev = p.add_argument_group("Device args")
     dev.add_argument("--workers", type=int, default=1,
@@ -112,6 +116,7 @@ def config_from_args(args) -> InferenceConfig:
         reference_file_name_2interpolate=args.reference_file_name_2interpolate,
         dtype=args.dtype,
         segment_halo=args.segment_halo,
+        pcm_fast_path=args.pcm_fast_path,
     )
 
 

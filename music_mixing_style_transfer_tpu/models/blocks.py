@@ -29,9 +29,11 @@ BN_MOMENTUM = 0.9  # linen convention: new = m*old + (1-m)*batch  (torch momentu
 LEAKY_SLOPE = 0.01  # torch.nn.LeakyReLU default
 
 # Global conv precision. DEFAULT lets the MXU use fast bf16 passes (the right
-# choice on TPU: ~6x faster convs, embedding cosine impact < 1e-3); HIGHEST
-# forces full f32 accumulation (used by the CPU parity tests implicitly since
-# CPU always computes f32).
+# choice on TPU: ~6x faster convs; measured on-chip at production shapes
+# (tools/tpu_checks.py, TPU_CHECKS.json): bf16-vs-f32 embedding cosine
+# 0.999997 — 300x margin inside the 0.999 north-star — and converter
+# waveform NRMSE 3.1e-3). HIGHEST forces full f32 accumulation (used by the
+# CPU parity tests implicitly since CPU always computes f32).
 _CONV_PRECISION = jax.lax.Precision.DEFAULT
 
 

@@ -250,7 +250,12 @@ class BatchedAudioEffectsNormalizer:
             grid_r[n, g:] = cand_r[n][-1]
             grid_t[n, g:] = cand_t[n][-1]
 
-        chunk = 32
+        # the candidate sweep materializes [N*chunk, T] compressed copies AND
+        # their onset STFTs (~40 bytes/lane-sample live at peak, measured via
+        # an HBM OOM at chunk=32 on a 60 s song); bound the sweep to ~6 GB so
+        # whole songs fit, falling back to more (early-exiting) passes
+        T_len = int(x.shape[-1])
+        chunk = int(max(1, min(32, (6 << 30) // (40 * max(N, 1) * max(T_len, 1)))))
         chosen = np.full(N, G - 1, np.int64)
         found = ~active  # inactive channels need no search
         for lo in range(0, G, chunk):
@@ -298,6 +303,34 @@ class BatchedAudioEffectsNormalizer:
         )(stems, targets, thresholds)
 
     # -- orchestration --------------------------------------------------
+    def normalize_device(
+        self, x: jnp.ndarray, insts: Sequence[str], length_list: Sequence[int]
+    ) -> jnp.ndarray:
+        """Device-resident core: ``x [S, 2, fft + T + fft]`` (already
+        margin-padded, float32, ON DEVICE) -> same shape on device. The only
+        host round trips are the tiny per-stage decision scalars (skip
+        flags, comp features) and the FIR tap design."""
+        cfg = self.cfg
+        skip = np.asarray(
+            jnp.asarray(
+                [amp_to_db(jnp.max(jnp.abs(x[s]))) <= cfg.min_db for s in range(len(insts))]
+            )
+        )
+        cur = x
+        for effect in cfg.effects:
+            if effect == "loudness":
+                y = self._stage_loudness(cur, insts)
+            elif effect == "eq":
+                y = self._stage_eq(cur, insts, length_list)
+            elif effect == "compression":
+                y = self._stage_compression(cur, insts)
+            elif effect == "imager":
+                y = self._stage_imager(cur, insts)
+            else:
+                raise ValueError(f"unsupported batched effect: {effect}")
+            cur = jnp.where(jnp.asarray(skip)[:, None, None], cur, y)
+        return cur
+
     def normalize_stems(self, stems: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         insts = list(stems.keys())
@@ -311,23 +344,7 @@ class BatchedAudioEffectsNormalizer:
         lengths = {i: stems[i].shape[-1] for i in insts}
         length_list = [lengths[i] for i in insts]
 
-        skip = np.asarray(
-            [amp_to_db(np.max(np.abs(x[s]))) <= cfg.min_db for s in range(len(insts))]
-        )
-        cur = jnp.asarray(x)
-        for effect in cfg.effects:
-            if effect == "loudness":
-                y = self._stage_loudness(cur, insts)
-            elif effect == "eq":
-                y = self._stage_eq(cur, insts, length_list)
-            elif effect == "compression":
-                y = self._stage_compression(cur, insts)
-            elif effect == "imager":
-                y = self._stage_imager(cur, insts)
-            else:
-                raise ValueError(f"unsupported batched effect: {effect}")
-            cur = jnp.where(jnp.asarray(skip)[:, None, None], cur, y)
-
+        cur = self.normalize_device(jnp.asarray(x), insts, length_list)
         out_np = np.asarray(cur)
         return {
             inst: out_np[s, :, cfg.fft_size : cfg.fft_size + lengths[inst]]

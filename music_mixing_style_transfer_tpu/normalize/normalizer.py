@@ -39,15 +39,22 @@ class AudioEffectsNormalizer:
         self.features = load_fx_features(
             precomputed_feature_path, stems=self.cfg.stems
         )
+        self._batched = None
 
     # ------------------------------------------------------------------
+    def batched(self):
+        """The (cached) batched/device-resident implementation."""
+        if self._batched is None:
+            from .batch import BatchedAudioEffectsNormalizer
+
+            self._batched = BatchedAudioEffectsNormalizer(self.features, self.cfg)
+        return self._batched
+
     def normalize_stems(self, stems) -> dict:
         """Batched multi-stem normalization: every stage runs ONCE for all
         stems' channels on device (see :mod:`.batch`). Same stage math as
         :meth:`normalize_audio`."""
-        from .batch import BatchedAudioEffectsNormalizer
-
-        return BatchedAudioEffectsNormalizer(self.features, self.cfg).normalize_stems(stems)
+        return self.batched().normalize_stems(stems)
 
     # ------------------------------------------------------------------
     def normalize_audio(self, audio: np.ndarray, src: str) -> np.ndarray:

@@ -35,15 +35,17 @@ BLOCK_LANES = LANES * SUBLANES  # 1024 channels per grid block
 
 def _envelope_kernel(
     params_ref,  # [1, 4, 8, 128]  (threshold, ratio, a_att, a_rel) per lane
+    env0_ref,    # [1, 8, 128]     initial envelope state (slab carry-in)
     x_ref,       # [1, Tc, 8, 128] audio chunk
     y_ref,       # [1, Tc, 8, 128] output chunk
+    envout_ref,  # [1, 8, 128]     final envelope state (slab carry-out)
     state_ref,   # VMEM scratch [8, 128]: envelope carry
 ):
     t_chunk = pl.program_id(1)
 
     @pl.when(t_chunk == 0)
     def _():
-        state_ref[:, :] = jnp.zeros((SUBLANES, LANES), jnp.float32)
+        state_ref[:, :] = env0_ref[0]
 
     threshold = params_ref[0, 0]
     ratio = params_ref[0, 1]
@@ -79,39 +81,53 @@ def _envelope_kernel(
         return y_l
 
     state_ref[:, :] = jax.lax.fori_loop(0, Tc, step, state_ref[:, :])
+    # revisited output block: last grid step's write is the slab carry-out
+    envout_ref[0] = state_ref[:, :]
 
 
 @functools.partial(jax.jit, static_argnames=("time_chunk", "interpret"))
 def _envelope_pallas_packed(
     x: jnp.ndarray,       # [Lb, T, 8, 128]
     params: jnp.ndarray,  # [Lb, 4, 8, 128]
+    env0: jnp.ndarray,    # [Lb, 8, 128]
     time_chunk: int,
     interpret: bool,
-) -> jnp.ndarray:
+):
     Lb, T = x.shape[0], x.shape[1]
     n_chunks = T // time_chunk
     grid = (Lb, n_chunks)
+    mem = pl.ANY if interpret else pltpu.VMEM
     return pl.pallas_call(
         _envelope_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 4, SUBLANES, LANES), lambda i, j: (i, 0, 0, 0),
-                memory_space=pl.ANY if interpret else pltpu.VMEM,
+                (1, 4, SUBLANES, LANES), lambda i, j: (i, 0, 0, 0), memory_space=mem
+            ),
+            pl.BlockSpec(
+                (1, SUBLANES, LANES), lambda i, j: (i, 0, 0), memory_space=mem
             ),
             pl.BlockSpec(
                 (1, time_chunk, SUBLANES, LANES), lambda i, j: (i, j, 0, 0),
-                memory_space=pl.ANY if interpret else pltpu.VMEM,
+                memory_space=mem,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, time_chunk, SUBLANES, LANES), lambda i, j: (i, j, 0, 0),
-            memory_space=pl.ANY if interpret else pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        out_specs=[
+            pl.BlockSpec(
+                (1, time_chunk, SUBLANES, LANES), lambda i, j: (i, j, 0, 0),
+                memory_space=mem,
+            ),
+            pl.BlockSpec(
+                (1, SUBLANES, LANES), lambda i, j: (i, 0, 0), memory_space=mem
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            jax.ShapeDtypeStruct((Lb, SUBLANES, LANES), jnp.float32),
+        ],
         scratch_shapes=[pltpu.VMEM((SUBLANES, LANES), jnp.float32)],
         interpret=interpret,
-    )(params, x)
+    )(params, env0, x)
 
 
 def compressor_pallas(
@@ -147,15 +163,26 @@ def compressor_pallas(
 
     Lp = -(-L // BLOCK_LANES) * BLOCK_LANES
     Tp = -(-T // time_chunk) * time_chunk
-    xp = jnp.pad(xf, ((0, Lp - L), (0, Tp - T)))
     pp = jnp.stack([jnp.pad(p, (0, Lp - L), constant_values=1.0) for p in pvec], axis=0)
-
-    # pack lanes into (8, 128) tiles: [Lp, Tp] -> [Lb, Tp, 8, 128]
     Lb = Lp // BLOCK_LANES
-    xpk = xp.reshape(Lb, SUBLANES, LANES, Tp).transpose(0, 3, 1, 2)
     ppk = pp.reshape(4, Lb, SUBLANES, LANES).transpose(1, 0, 2, 3)
 
-    y = _envelope_pallas_packed(xpk, ppk, time_chunk, interpret)
+    # long signals stream through the kernel in time slabs with the envelope
+    # state carried between calls (bit-identical to one pass: the recurrence
+    # and grid sequencing are unchanged). Without slabbing, the lane padding
+    # to BLOCK_LANES materializes [Lp, Tp] in HBM — 2 x 10.6 GB for an
+    # 8-channel 60 s sweep (measured OOM); the slab bound keeps the padded
+    # in+out buffers near 1 GB regardless of song length.
+    slab_T = max(time_chunk, ((1 << 27) // Lp) // time_chunk * time_chunk)
+    env = jnp.zeros((Lb, SUBLANES, LANES), jnp.float32)
+    outs = []
+    for s0 in range(0, Tp, slab_T):
+        s1 = min(s0 + slab_T, Tp)
+        xs = xf[:, s0:min(s1, T)]
+        xs = jnp.pad(xs, ((0, Lp - L), (0, (s1 - s0) - xs.shape[1])))
+        xpk = xs.reshape(Lb, SUBLANES, LANES, s1 - s0).transpose(0, 3, 1, 2)
+        ys, env = _envelope_pallas_packed(xpk, ppk, env, time_chunk, interpret)
+        outs.append(ys.transpose(0, 2, 3, 1).reshape(Lp, s1 - s0)[:L])
 
-    yf = y.transpose(0, 2, 3, 1).reshape(Lp, Tp)[:L, :T]
+    yf = (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1))[:, :T]
     return yf.reshape(batch_shape + (T,)).astype(x.dtype)

@@ -81,16 +81,33 @@ def test_swap_and_mono(stereo):
 
 def test_distortion_modes(stereo):
     d = Distortion()
-    for mode in range(4):
+    for mode in range(5):  # hard_clip, overdrive, soft_sine, tanh, bit_crusher
         p = {
             "mode": jnp.asarray(mode),
             "threshold_db": jnp.asarray(-10.0),
             "drive_db": jnp.asarray(10.0),
+            "colour": jnp.asarray(20.0),
             "bits": jnp.asarray(8),
         }
         y = np.asarray(d.apply(p, stereo))
         assert np.isfinite(y).all()
         assert y.shape == stereo.shape
+
+
+def test_distortion_overdrive_blocks_dc(stereo):
+    """The overdrive colour offset must not leak DC into the output."""
+    d = Distortion()
+    p = {
+        "mode": jnp.asarray(1),
+        "threshold_db": jnp.asarray(0.0),
+        "drive_db": jnp.asarray(12.0),
+        "colour": jnp.asarray(80.0),
+        "bits": jnp.asarray(8),
+    }
+    y = np.asarray(d.apply(p, stereo))
+    # one-pole DC blocker (r=0.995) leaves only a small transient-mean
+    assert abs(float(np.mean(y))) < 0.01
+    assert np.isfinite(y).all()
 
 
 def test_equaliser_shapes_spectrum(rng):

@@ -54,3 +54,17 @@ def test_pallas_envelope_attack_slower_than_release(rng):
         compressor_pallas(x, -18.0, 250.0, 40.0, 5.0, interpret=True)
     )
     np.testing.assert_allclose(y_k, y_scan, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_slab_carry_matches_scan(rng):
+    """Whole-song lengths stream through the kernel in time slabs with the
+    envelope state carried between calls; the result must be bit-compatible
+    with the unslabbed scan (slab boundary at T > slab_T = 2^27/1024 =
+    131072 when one lane block is padded)."""
+    T = 140_000  # crosses one slab boundary
+    x = (rng.standard_normal((2, T)) * 0.4).astype(np.float32)
+    ref = np.asarray(compressor_process(jnp.asarray(x), -22.0, 3.0, 200.0, 6.0, 0.0))
+    out = np.asarray(
+        compressor_pallas(jnp.asarray(x), -22.0, 3.0, 200.0, 6.0, time_chunk=512)
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
