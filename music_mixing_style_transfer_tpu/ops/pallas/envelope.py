@@ -61,26 +61,43 @@ def _envelope_kernel(
 
     Tc = x_ref.shape[1]
 
+    # ---- vectorized prelude over the whole chunk (the transcendentals) ----
+    # static gain curve: downward compression (ratio>1) above threshold,
+    # upward expansion (ratio<1) below threshold. The side-chain reduces to
+    #   x_l = x_g - y_g = over * (1 - inv_ratio)   on the curve's active side
+    #   x_l = 0                                    elsewhere
+    # (identical to the reference's piecewise form, with fewer live temps —
+    # the kernel is VMEM-stack-bound at large time chunks). The side-chain is
+    # staged IN-PLACE in the output block (no chunk-sized scratch), and the
+    # serial loop is left with only 2 FMA + max/min + select per step.
+    x = x_ref[0]  # [Tc, 8, 128]
+    ax = jnp.abs(x)
+    x_g = jnp.where(ax < 1e-6, -120.0, 20.0 * jnp.log10(jnp.maximum(ax, 1e-7)))
+    over = x_g - threshold[None]
+    # (Mosaic cannot select boolean vectors — keep all select operands f32)
+    xlv = over * (1.0 - inv_ratio)[None]
+    xl_comp = jnp.where(over >= 0.0, xlv, 0.0)
+    xl_exp = jnp.where(over <= 0.0, xlv, 0.0)
+    y_ref[0] = jnp.where(
+        is_comp[None], xl_comp, jnp.where(is_exp[None], xl_exp, 0.0)
+    )
+
+    # ---- serial recurrence: 2 FMA + max/min + select per step ----
     def step(t, y_prev):
-        x = x_ref[0, t]
-        ax = jnp.abs(x)
-        x_g = jnp.where(ax < 1e-6, -120.0, 20.0 * jnp.log10(jnp.maximum(ax, 1e-7)))
-        # static gain curve: downward compression (ratio>1) above threshold,
-        # upward expansion (ratio<1) below threshold
-        over = x_g - threshold
-        comp = jnp.where(over >= 0.0, threshold + over * inv_ratio, x_g)
-        expd = jnp.where(over <= 0.0, threshold + over * inv_ratio, x_g)
-        y_g = jnp.where(is_comp, comp, jnp.where(is_exp, expd, x_g))
-        x_l = x_g - y_g
+        x_l = y_ref[0, t]
         cand_att = a_att * y_prev + one_m_att * x_l
         cand_rel = a_rel * y_prev + one_m_rel * x_l
         y_l = jnp.where(
             use_max, jnp.maximum(cand_att, cand_rel), jnp.minimum(cand_att, cand_rel)
         )
-        y_ref[0, t] = x * jnp.exp(-0.11512925464970229 * y_l)  # 10^(-y_l/20)
+        y_ref[0, t] = y_l  # overwrite side-chain with the smoothed envelope
         return y_l
 
     state_ref[:, :] = jax.lax.fori_loop(0, Tc, step, state_ref[:, :])
+
+    # ---- vectorized epilogue: gain application ----
+    y_ref[0] = x_ref[0] * jnp.exp(-0.11512925464970229 * y_ref[0])  # 10^(-y_l/20)
+
     # revisited output block: last grid step's write is the slab carry-out
     envout_ref[0] = state_ref[:, :]
 
@@ -137,7 +154,10 @@ def compressor_pallas(
     release_ms,
     ratio,
     sample_rate: int = 44100,
-    time_chunk: int = 512,
+    # 256 keeps the kernel's VMEM footprint (double-buffered in/out blocks +
+    # the chunk-sized side-chain scratch + elementwise prelude temps) under
+    # the 16 MB scoped-vmem limit; 512 measured 17.8M (compile-time OOM)
+    time_chunk: int = 256,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused compressor over the last axis of ``x [..., T]``.
