@@ -98,25 +98,58 @@ def _grouped_fir_filtfilt(ch: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     return y[:, padlen : padlen + T].astype(ch.dtype)
 
 
-@partial(jax.jit, static_argnames=("sample_rate", "percentile"))
-def _chunk_peaks_batch(
+def _stream_peaks_batch(
     ch: jnp.ndarray,       # [N, T]
-    ratios: jnp.ndarray,   # [N, Gc] effective ratios (already inverted for 'up')
-    ths: jnp.ndarray,      # [N, Gc]
-    attacks: jnp.ndarray,  # [N]
-    releases: jnp.ndarray, # [N]
+    ratios: np.ndarray,    # [N, Gc] effective ratios (already inverted for 'up')
+    ths: np.ndarray,       # [N, Gc]
+    attacks: np.ndarray,   # [N]
+    releases: np.ndarray,  # [N]
     sample_rate: int,
     percentile: float = 75.0,
+    slab_T: int = 1 << 18,
 ) -> jnp.ndarray:
-    """Peaks feature for every (channel, candidate) pair: [N, Gc]."""
+    """Peaks feature for every (channel, candidate) pair: ``[N, Gc]``.
+
+    The whole-song candidate sweep streams in time slabs: each slab is
+    broadcast to the ``N*Gc`` lane grid, compressed with carried envelope
+    state (:class:`CompressorStream` — bit-identical to a full-length pass),
+    clipped, and reduced to per-frame features; only the tiny ``[N*Gc, F]``
+    frame arrays persist. This bounds HBM at ``O(lanes * slab_T)`` instead of
+    ``O(lanes * T)``, which is what lets a pass evaluate 128 candidates per
+    channel at the envelope kernel's full 1024-lane width (the old
+    full-length formulation OOMed past ~7 candidates on a 60 s song).
+
+    The unconditional clip is exact: the per-lane rule "clip only when
+    max|y| >= 1" (reference ``utils_data_normalization.py:352-355``) is
+    pointwise-identical to ``clip(y)`` — the condition is precisely "clip is
+    not a no-op".
+    """
+    from ..ops.compressor import CompressorStream
+    from .matching import frame_peak_features, mean_peak_from_frames, onset_mask_from_features
+
     N, Gc = ratios.shape
-    T = ch.shape[-1]
-    xg = jnp.broadcast_to(ch[:, None, :], (N, Gc, T)).reshape(N * Gc, T)
-    y = compress_and_clip(
-        xg, ths.reshape(-1), jnp.repeat(attacks, Gc), jnp.repeat(releases, Gc),
-        ratios.reshape(-1), sample_rate,
+    T_used = (int(ch.shape[-1]) // 1024) * 1024
+    stream = CompressorStream(
+        jnp.asarray(ths.reshape(-1)),
+        jnp.asarray(np.repeat(attacks, Gc)),
+        jnp.asarray(np.repeat(releases, Gc)),
+        jnp.asarray(ratios.reshape(-1)),
+        sample_rate,
     )
-    peaks, _ = measure_mean_peak(y, percentile=percentile)
+    hfcs, fmaxs, fdbs = [], [], []
+    for s0 in range(0, T_used, slab_T):
+        xs = ch[:, s0 : min(s0 + slab_T, T_used)]
+        Ts = xs.shape[-1]
+        xg = jnp.broadcast_to(xs[:, None, :], (N, Gc, Ts)).reshape(N * Gc, Ts)
+        y = jnp.clip(stream.process(xg), -1.0, 1.0)
+        h, fm, fd = frame_peak_features(y)
+        hfcs.append(h)
+        fmaxs.append(fm)
+        fdbs.append(fd)
+
+    cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1))
+    mask = onset_mask_from_features(cat(hfcs), cat(fdbs))
+    peaks, _ = mean_peak_from_frames(cat(fmaxs), mask, percentile=percentile)
     return peaks.reshape(N, Gc)
 
 
@@ -250,12 +283,13 @@ class BatchedAudioEffectsNormalizer:
             grid_r[n, g:] = cand_r[n][-1]
             grid_t[n, g:] = cand_t[n][-1]
 
-        # the candidate sweep materializes [N*chunk, T] compressed copies AND
-        # their onset STFTs (~40 bytes/lane-sample live at peak, measured via
-        # an HBM OOM at chunk=32 on a 60 s song); bound the sweep to ~6 GB so
-        # whole songs fit, falling back to more (early-exiting) passes
-        T_len = int(x.shape[-1])
-        chunk = int(max(1, min(32, (6 << 30) // (40 * max(N, 1) * max(T_len, 1)))))
+        # candidates per pass: fill the envelope kernel's 1024-lane width
+        # (the streaming sweep bounds HBM by slab, not song length, so the
+        # lane grid is the only limit). One pass nearly always suffices —
+        # chosen indices cluster in the first few dozen grid entries.
+        from ..ops.pallas.envelope import BLOCK_LANES
+
+        chunk = int(min(G, max(1, BLOCK_LANES // max(N, 1))))
         chosen = np.full(N, G - 1, np.int64)
         found = ~active  # inactive channels need no search
         for lo in range(0, G, chunk):
@@ -267,9 +301,8 @@ class BatchedAudioEffectsNormalizer:
                 r = np.pad(r, ((0, 0), (0, chunk - r.shape[1])), mode="edge")
                 t = np.pad(t, ((0, 0), (0, chunk - t.shape[1])), mode="edge")
             pk = np.asarray(
-                _chunk_peaks_batch(
-                    x, jnp.asarray(r), jnp.asarray(t),
-                    jnp.asarray(attacks), jnp.asarray(releases), cfg.sample_rate,
+                _stream_peaks_batch(
+                    x, r, t, attacks, releases, cfg.sample_rate,
                     float(cfg.comp_percentile),
                 )
             )

@@ -195,16 +195,52 @@ def hfc_onset_mask(
     and is a local maximum, and the frame is not silent.
     """
     T = x.shape[-1]
-    n_frames = T // hop_size
-    frames = frame(x[..., : n_frames * hop_size], window_size, hop_size) if T >= window_size else None
-    if frames is None or frames.shape[-2] == 0:
+    if T < window_size or T // hop_size == 0:
         return jnp.zeros(x.shape[:-1] + (0,), bool)
+    hfc_raw, _, frame_db = frame_peak_features(x, window_size, hop_size)
+    return onset_mask_from_features(
+        hfc_raw, frame_db, threshold, silence_db, median_span
+    )
+
+
+@partial(jax.jit, static_argnames=("window_size", "hop_size"))
+def frame_peak_features(
+    x: jnp.ndarray, window_size: int = 1024, hop_size: int = 1024
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-frame quantities of ``x [..., Ts]`` for onset/peak analysis:
+    ``(hfc_raw, frame_max, frame_db)``, each ``[..., F]``.
+
+    These are purely frame-local, so whole-song analyses can stream time
+    slabs (``Ts`` a multiple of ``hop_size``) through this and concatenate —
+    the frame arrays are ~3 orders of magnitude smaller than the audio.
+    Requires ``window_size == hop_size`` (the non-overlapped framing the
+    normalization matcher uses): the peak frames and STFT frames coincide.
+    """
+    assert window_size == hop_size, "streaming framing requires window == hop"
+    n_frames = x.shape[-1] // hop_size
+    frames = frame(x[..., : n_frames * hop_size], window_size, hop_size)
     win = jnp.asarray(np.hanning(window_size + 1)[:-1].astype(np.float32))
     mag = jnp.abs(jnp.fft.rfft(frames * win, axis=-1))  # [..., F, K]
     k = jnp.arange(mag.shape[-1], dtype=mag.dtype)
-    hfc = jnp.sum(mag * k, axis=-1)  # [..., F]
-    # normalize odf scale
-    hfc = hfc / jnp.maximum(jnp.max(hfc, axis=-1, keepdims=True), 1e-12)
+    hfc_raw = jnp.sum(mag * k, axis=-1)  # [..., F]
+    frame_max = jnp.max(jnp.abs(frames), axis=-1)
+    frame_db = 20.0 * jnp.log10(jnp.sqrt(jnp.mean(frames**2, axis=-1)) + 1e-12)
+    return hfc_raw, frame_max, frame_db
+
+
+@partial(jax.jit, static_argnames=("median_span",))
+def onset_mask_from_features(
+    hfc_raw: jnp.ndarray,
+    frame_db: jnp.ndarray,
+    threshold: float = 0.3,
+    silence_db: float = -70.0,
+    median_span: int = 5,
+) -> jnp.ndarray:
+    """Aubio-style adaptive peak-picking over per-frame HFC ``[..., F]``: a
+    frame is an onset when its (globally normalized) HFC exceeds the local
+    median by ``threshold`` and is a local maximum, and the frame is not
+    silent."""
+    hfc = hfc_raw / jnp.maximum(jnp.max(hfc_raw, axis=-1, keepdims=True), 1e-12)
 
     # local median threshold (centered window of 2*span+1)
     pad = median_span
@@ -216,11 +252,7 @@ def hfc_onset_mask(
     nxt = jnp.pad(hfc, [(0, 0)] * (hfc.ndim - 1) + [(0, 1)], mode="edge")[..., 1:]
     local_max = (hfc >= prev) & (hfc > nxt)
 
-    frame_db = 20.0 * jnp.log10(
-        jnp.sqrt(jnp.mean(frames**2, axis=-1)) + 1e-12
-    )
     loud = frame_db > silence_db
-
     return local_max & loud & (hfc > med + threshold * 0.1)
 
 
@@ -244,6 +276,19 @@ def mean_peak_db(
     frame_max = jnp.max(xs, axis=-1)  # [..., F] (onsets are frame-aligned here,
     # a deviation from aubio's sample-accurate onset positions — the peak
     # statistic is unchanged up to frame quantization)
+    return mean_peak_from_frames(frame_max, onset_mask, percentile=percentile)
+
+
+@partial(jax.jit, static_argnames=("percentile",))
+def mean_peak_from_frames(
+    frame_max: jnp.ndarray,
+    onset_mask: jnp.ndarray,
+    percentile: float = 75.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Segment-peak statistics from per-frame maxima ``[..., F]`` (the
+    streaming-friendly core of :func:`mean_peak_db`)."""
+    batch_shape = frame_max.shape[:-1]
+    n_frames = frame_max.shape[-1]
 
     # segment id per frame: number of onsets at-or-before it (0 = pre-onset)
     seg_ids = jnp.cumsum(onset_mask.astype(jnp.int32), axis=-1)  # [..., F]

@@ -181,6 +181,72 @@ def compress_and_clip(
     )
 
 
+class CompressorStream:
+    """Stateful slab-streaming compressor over ``[L, T]`` lanes.
+
+    Feeding consecutive time slabs through :meth:`process` is numerically
+    identical to one :func:`compressor_process` pass over the concatenated
+    signal — the envelope state carries across slabs. This is the memory-
+    bounded building block for whole-song candidate sweeps: the caller never
+    materializes ``[L, T]`` for large ``L``, only ``[L, slab]``.
+
+    On TPU backends the fused Pallas kernel runs each slab; elsewhere the
+    scan path does. All but the final slab should have a length divisible by
+    ``pallas.envelope.TIME_CHUNK`` (the kernel zero-pads ragged tails, which
+    decays the carried envelope).
+    """
+
+    def __init__(
+        self,
+        thresholds: jnp.ndarray,  # [L]
+        attacks: jnp.ndarray,     # [L] ms
+        releases: jnp.ndarray,    # [L] ms
+        ratios: jnp.ndarray,      # [L]
+        sample_rate: int = 44100,
+        interpret: bool | None = None,
+    ):
+        self.sample_rate = sample_rate
+        self._tpu = jax.default_backend() == "tpu" and interpret is not True
+        L = int(thresholds.shape[0])
+        if self._tpu:
+            from .pallas.envelope import pack_lane_params
+
+            self._ppk, self._env = pack_lane_params(
+                thresholds, attacks, releases, ratios, (L,), sample_rate
+            )
+        else:
+            self._th = jnp.asarray(thresholds, jnp.float32)[:, None]
+            self._ra = jnp.asarray(ratios, jnp.float32)[:, None]
+            self._a_att, self._a_rel = alphas(
+                jnp.asarray(attacks, jnp.float32),
+                jnp.asarray(releases, jnp.float32),
+                sample_rate,
+            )
+            self._env = jnp.zeros((L,), jnp.float32)
+
+    def process(self, x_slab: jnp.ndarray) -> jnp.ndarray:
+        """``[L, Ts] -> [L, Ts]`` compressed (no clip), carrying state."""
+        if self._tpu:
+            from .pallas.envelope import compressor_slab
+
+            y, self._env = compressor_slab(
+                x_slab.astype(jnp.float32), self._ppk, self._env
+            )
+            return y
+        y, self._env = _stream_scan_slab(
+            x_slab, self._th, self._ra, self._a_att, self._a_rel, self._env
+        )
+        return y
+
+
+@jax.jit
+def _stream_scan_slab(x_slab, th, ra, a_att, a_rel, env):
+    x_g = amp_to_db(x_slab)
+    y_g = static_gain_curve(x_g, th, ra)
+    y_l = _envelope_scan(x_g - y_g, a_att, a_rel, y0=env)
+    return x_slab * jnp.power(10.0, -y_l / 20.0), y_l[:, -1]
+
+
 # ===========================================================================
 # sox-style compander (reference ``fx_utils.py:240-263``, libsox compand)
 # ===========================================================================

@@ -147,6 +147,57 @@ def _envelope_pallas_packed(
     )(params, env0, x)
 
 
+# 256 keeps the kernel's VMEM footprint (double-buffered in/out blocks +
+# elementwise prelude temps) under the 16 MB scoped-vmem limit; 512
+# measured 17.8M (compile-time OOM)
+TIME_CHUNK = 256
+
+
+def pack_lane_params(
+    threshold, attack_ms, release_ms, ratio, batch_shape, sample_rate: int = 44100
+):
+    """Broadcast + pack per-lane compressor parameters for the kernel.
+
+    Returns ``(ppk [Lb, 4, 8, 128], env0 [Lb, 8, 128])`` with lanes padded to
+    a multiple of 1024 (padded lanes get ratio 1 = identity)."""
+    L = int(np.prod(batch_shape)) if batch_shape else 1
+    a_att = jnp.exp(-1.0 / (0.001 * sample_rate * jnp.asarray(attack_ms, jnp.float32)))
+    a_rel = jnp.exp(-1.0 / (0.001 * sample_rate * jnp.asarray(release_ms, jnp.float32)))
+    pvec = [
+        jnp.broadcast_to(jnp.asarray(p, jnp.float32), batch_shape).reshape(L)
+        for p in (threshold, ratio, a_att, a_rel)
+    ]
+    Lp = -(-L // BLOCK_LANES) * BLOCK_LANES
+    pp = jnp.stack([jnp.pad(p, (0, Lp - L), constant_values=1.0) for p in pvec], axis=0)
+    Lb = Lp // BLOCK_LANES
+    ppk = pp.reshape(4, Lb, SUBLANES, LANES).transpose(1, 0, 2, 3)
+    return ppk, jnp.zeros((Lb, SUBLANES, LANES), jnp.float32)
+
+
+def compressor_slab(
+    xs: jnp.ndarray,   # [L, Ts] float32 (any L <= the packed lane count)
+    ppk: jnp.ndarray,  # [Lb, 4, 8, 128] from pack_lane_params
+    env: jnp.ndarray,  # [Lb, 8, 128] carry
+    time_chunk: int = TIME_CHUNK,
+    interpret: bool | None = None,
+):
+    """One time slab through the envelope kernel; returns ``(y, env')``.
+
+    The carry makes consecutive slabs bit-identical to one full-signal pass.
+    ``Ts`` should be a multiple of ``time_chunk`` on all but the final slab
+    (tail zero-padding decays the carried envelope toward 0)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L, Ts = xs.shape
+    Lb = ppk.shape[0]
+    Lp = Lb * BLOCK_LANES
+    Tp = -(-Ts // time_chunk) * time_chunk
+    xs = jnp.pad(xs.astype(jnp.float32), ((0, Lp - L), (0, Tp - Ts)))
+    xpk = xs.reshape(Lb, SUBLANES, LANES, Tp).transpose(0, 3, 1, 2)
+    ys, env = _envelope_pallas_packed(xpk, ppk, env, time_chunk, interpret)
+    return ys.transpose(0, 2, 3, 1).reshape(Lp, Tp)[:L, :Ts], env
+
+
 def compressor_pallas(
     x: jnp.ndarray,
     threshold,
@@ -154,10 +205,7 @@ def compressor_pallas(
     release_ms,
     ratio,
     sample_rate: int = 44100,
-    # 256 keeps the kernel's VMEM footprint (double-buffered in/out blocks +
-    # the chunk-sized side-chain scratch + elementwise prelude temps) under
-    # the 16 MB scoped-vmem limit; 512 measured 17.8M (compile-time OOM)
-    time_chunk: int = 256,
+    time_chunk: int = TIME_CHUNK,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Fused compressor over the last axis of ``x [..., T]``.
@@ -166,26 +214,15 @@ def compressor_pallas(
     :func:`..compressor.compressor_process` with makeup 0). Lanes are padded
     to a multiple of 1024 and time to a multiple of ``time_chunk``.
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
     batch_shape = x.shape[:-1]
     T = x.shape[-1]
     L = int(np.prod(batch_shape)) if batch_shape else 1
     xf = x.reshape(L, T).astype(jnp.float32)
 
-    a_att = jnp.exp(-1.0 / (0.001 * sample_rate * jnp.asarray(attack_ms, jnp.float32)))
-    a_rel = jnp.exp(-1.0 / (0.001 * sample_rate * jnp.asarray(release_ms, jnp.float32)))
-    pvec = [
-        jnp.broadcast_to(jnp.asarray(p, jnp.float32), batch_shape).reshape(L)
-        for p in (threshold, ratio, a_att, a_rel)
-    ]
-
-    Lp = -(-L // BLOCK_LANES) * BLOCK_LANES
-    Tp = -(-T // time_chunk) * time_chunk
-    pp = jnp.stack([jnp.pad(p, (0, Lp - L), constant_values=1.0) for p in pvec], axis=0)
-    Lb = Lp // BLOCK_LANES
-    ppk = pp.reshape(4, Lb, SUBLANES, LANES).transpose(1, 0, 2, 3)
+    ppk, env = pack_lane_params(
+        threshold, attack_ms, release_ms, ratio, batch_shape, sample_rate
+    )
+    Lp = ppk.shape[0] * BLOCK_LANES
 
     # long signals stream through the kernel in time slabs with the envelope
     # state carried between calls (bit-identical to one pass: the recurrence
@@ -194,15 +231,12 @@ def compressor_pallas(
     # 8-channel 60 s sweep (measured OOM); the slab bound keeps the padded
     # in+out buffers near 1 GB regardless of song length.
     slab_T = max(time_chunk, ((1 << 27) // Lp) // time_chunk * time_chunk)
-    env = jnp.zeros((Lb, SUBLANES, LANES), jnp.float32)
     outs = []
-    for s0 in range(0, Tp, slab_T):
-        s1 = min(s0 + slab_T, Tp)
-        xs = xf[:, s0:min(s1, T)]
-        xs = jnp.pad(xs, ((0, Lp - L), (0, (s1 - s0) - xs.shape[1])))
-        xpk = xs.reshape(Lb, SUBLANES, LANES, s1 - s0).transpose(0, 3, 1, 2)
-        ys, env = _envelope_pallas_packed(xpk, ppk, env, time_chunk, interpret)
-        outs.append(ys.transpose(0, 2, 3, 1).reshape(Lp, s1 - s0)[:L])
+    for s0 in range(0, T, slab_T):
+        ys, env = compressor_slab(
+            xf[:, s0 : s0 + slab_T], ppk, env, time_chunk, interpret
+        )
+        outs.append(ys)
 
-    yf = (outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1))[:, :T]
+    yf = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
     return yf.reshape(batch_shape + (T,)).astype(x.dtype)

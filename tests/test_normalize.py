@@ -267,3 +267,38 @@ def test_lufs_normalize_silent_passthrough():
     x = jnp.zeros((1000, 2), jnp.float32)
     y = np.asarray(lufs_normalize(x, 44100, -20.0))
     assert np.isfinite(y).all() and np.abs(y).max() == 0.0
+
+
+def test_stream_peaks_matches_fullpass(rng):
+    """The slab-streaming candidate sweep (_stream_peaks_batch) must produce
+    the same peaks feature as a direct full-length compress+measure pass —
+    the envelope carry across slabs and the unconditional clip are exact."""
+    from music_mixing_style_transfer_tpu.normalize.batch import _stream_peaks_batch
+    from music_mixing_style_transfer_tpu.normalize.matching import measure_mean_peak
+    from music_mixing_style_transfer_tpu.ops.compressor import compress_and_clip
+
+    N, Gc, T = 2, 3, 140_000  # crosses slab boundaries at slab_T = 2^16
+    x = (rng.standard_normal((N, T)) * 0.25).astype(np.float32)
+    ratios = np.asarray([[2.0, 3.0, 4.0], [1.5, 2.5, 0.5]], np.float32)
+    ths = np.asarray([[-20.0, -25.0, -30.0], [-15.0, -22.0, -28.0]], np.float32)
+    attacks = np.asarray([10.0, 5.0], np.float32)
+    releases = np.asarray([100.0, 60.0], np.float32)
+
+    pk = np.asarray(
+        _stream_peaks_batch(
+            jnp.asarray(x), ratios, ths, attacks, releases, 44100,
+            percentile=75.0, slab_T=1 << 16,
+        )
+    )
+
+    xg = np.broadcast_to(x[:, None, :], (N, Gc, T)).reshape(N * Gc, T)
+    y = compress_and_clip(
+        jnp.asarray(xg),
+        jnp.asarray(ths.reshape(-1)),
+        jnp.asarray(np.repeat(attacks, Gc)),
+        jnp.asarray(np.repeat(releases, Gc)),
+        jnp.asarray(ratios.reshape(-1)),
+        44100,
+    )
+    ref, _ = measure_mean_peak(y, percentile=75.0)
+    np.testing.assert_allclose(pk, np.asarray(ref).reshape(N, Gc), rtol=0, atol=1e-3)
