@@ -198,9 +198,11 @@ class BatchedAudioEffectsNormalizer:
         ch = stems.reshape(S * 2, -1)  # [N, T]
         # silent channels skip the stage entirely (per-stem path's min_db
         # rule, matching.eq_match) — a -inf LUFS channel would otherwise
-        # produce inf gains and NaN taps
-        ch_peak_db = amp_to_db(np.asarray(jnp.max(jnp.abs(ch), axis=-1)))
-        silent = ch_peak_db <= cfg.min_db
+        # produce inf gains and NaN taps. The mask only selects outputs, so
+        # it stays on device (no host round trip).
+        silent = (
+            20.0 * jnp.log10(jnp.max(jnp.abs(ch), axis=-1) + 1e-30) <= cfg.min_db
+        )
         # per-channel LUFS normalization (channel treated as mono signal)
         loud = jax.vmap(
             lambda x: integrated_loudness(x[:, None] + 1e-10, cfg.sample_rate)
@@ -227,7 +229,7 @@ class BatchedAudioEffectsNormalizer:
             ]
         )
         out = _grouped_fir_filtfilt(y, jnp.asarray(taps))
-        out = jnp.where(jnp.asarray(silent)[:, None], ch, out)
+        out = jnp.where(silent[:, None], ch, out)
         return out.reshape(S, 2, -1)
 
     def _stage_compression(self, stems: jnp.ndarray, insts: Sequence[str]) -> jnp.ndarray:
@@ -344,10 +346,9 @@ class BatchedAudioEffectsNormalizer:
         host round trips are the tiny per-stage decision scalars (skip
         flags, comp features) and the FIR tap design."""
         cfg = self.cfg
-        skip = np.asarray(
-            jnp.asarray(
-                [amp_to_db(jnp.max(jnp.abs(x[s]))) <= cfg.min_db for s in range(len(insts))]
-            )
+        # per-stem skip mask; selection-only, so it stays on device
+        skip = (
+            20.0 * jnp.log10(jnp.max(jnp.abs(x), axis=(1, 2)) + 1e-30) <= cfg.min_db
         )
         cur = x
         for effect in cfg.effects:
@@ -361,7 +362,7 @@ class BatchedAudioEffectsNormalizer:
                 y = self._stage_imager(cur, insts)
             else:
                 raise ValueError(f"unsupported batched effect: {effect}")
-            cur = jnp.where(jnp.asarray(skip)[:, None, None], cur, y)
+            cur = jnp.where(skip[:, None, None], cur, y)
         return cur
 
     def normalize_stems(self, stems: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
