@@ -121,8 +121,9 @@ class InferenceConfig:
     segment_halo: int = 0
     # device-resident whole-song path: upload stems once as int16 PCM,
     # normalize/segment/encode/convert/sum on device, download one int16
-    # mixture (5x less host<->device traffic; falls back to the host path
-    # for interpolation, halo, or non-16-bit sources)
+    # mixture (5x less host<->device traffic; covers the plain and
+    # interpolation modes, falls back to the host path for halo or
+    # non-16-bit sources)
     pcm_fast_path: bool = True
 
 

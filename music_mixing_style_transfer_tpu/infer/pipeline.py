@@ -406,11 +406,37 @@ class MixingStyleTransfer:
         return mixture, outputs
 
     # ------------------------------------------------------------------
+    def _embed_group_pcm(self, ref_dev: jnp.ndarray, Tr: int) -> jnp.ndarray:
+        """Per-stem mean embeddings ``[S, D]`` from a device-resident int16
+        stem stack ``[S, 2, Tr]`` (PCM segments straight to the encoder)."""
+        cfg = self.cfg
+        S = ref_dev.shape[0]
+        Lr = cfg.segment_length_ref
+        if Tr > 2 * Lr:
+            # zero-pad the trailing partial segment like segment_song
+            nr = -(-Tr // Lr)
+            Trb = nr * Lr
+            ref_seg = jnp.pad(ref_dev, ((0, 0), (0, 0), (0, Trb - Tr)))
+            ref_seg = ref_seg.reshape(S, 2, nr, Lr).transpose(0, 2, 1, 3).reshape(S * nr, 2, Lr)
+        else:
+            Trb = max(-(-Tr // 4096) * 4096, 4096)
+            nr = 1
+            ref_seg = jnp.pad(ref_dev, ((0, 0), (0, 0), (0, Trb - Tr)))
+        B_ref = self.engine._pad_bucket(S * nr)
+        ref_seg = jnp.pad(ref_seg, ((0, B_ref - S * nr), (0, 0), (0, 0)))
+        onehot = np.zeros((S, B_ref), np.float32)
+        for s in range(S):
+            onehot[s, s * nr : (s + 1) * nr] = 1.0
+        return self.engine._encode_group_mean(
+            self.engine.enc_vars, ref_seg, jnp.asarray(onehot)
+        )  # [S, D] on device
+
     def transfer_song_pcm(
         self,
         input_pcm: np.ndarray,
         reference_pcm: np.ndarray,
         want_stems: bool = False,
+        reference_pcm_b: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, Optional[Dict[str, np.ndarray]]]:
         """Device-resident whole-song transfer from int16 PCM.
 
@@ -422,6 +448,12 @@ class MixingStyleTransfer:
         per-stage host path, numerically identical modulo the final int16
         quantization (which the WAV write performs anyway). Built for the
         slow-link serving topology this repo benches on (DESIGN.md §4).
+
+        With ``reference_pcm_b``, runs interpolation mode instead
+        (reference ``style_transfer.py:181-270``): the song is cut into
+        ``cfg.interpolate_segments`` chunks, chunk ``i`` conditioned on
+        ``w*embA + (1-w)*embB`` with ``w = (N-1-i)/(N-1)`` — all stems'
+        chunks in one converter dispatch (the host path loops per stem).
 
         Returns ``(mixture_pcm [2, T] int16, stems dict | None)``.
         """
@@ -435,6 +467,9 @@ class MixingStyleTransfer:
         # ---- upload once ----
         in_dev = jnp.asarray(input_pcm)
         ref_dev = jnp.asarray(reference_pcm)
+        ref_b_dev = (
+            jnp.asarray(reference_pcm_b) if reference_pcm_b is not None else None
+        )
 
         # ---- normalization (device-resident) ----
         Tb = -(-max(T, 1) // L) * L  # song-length bucket = whole segments
@@ -452,37 +487,40 @@ class MixingStyleTransfer:
             y_in = jnp.pad(y_in, ((0, 0), (0, 0), (0, Tb - T)))
 
         # ---- reference embeddings (PCM segments straight to the encoder) ----
-        Tr = reference_pcm.shape[-1]
-        Lr = cfg.segment_length_ref
-        if Tr > 2 * Lr:
-            # zero-pad the trailing partial segment like segment_song
-            nr = -(-Tr // Lr)
-            Trb = nr * Lr
-            ref_seg = jnp.pad(ref_dev, ((0, 0), (0, 0), (0, Trb - Tr)))
-            ref_seg = ref_seg.reshape(S, 2, nr, Lr).transpose(0, 2, 1, 3).reshape(S * nr, 2, Lr)
+        embs = self._embed_group_pcm(ref_dev, reference_pcm.shape[-1])  # [S, D]
+
+        if ref_b_dev is not None:
+            # ---- interpolation: per-chunk blended conditioning ----
+            embs_b = self._embed_group_pcm(ref_b_dev, reference_pcm_b.shape[-1])
+            n_interp = int(cfg.interpolate_segments)
+            L = T // n_interp + 1  # chunk length (reference style_transfer.py:241)
+            n = -(-T // L)  # segments actually present
+            Tb = n * L
+            y_in = (
+                y_in[:, :, :Tb]
+                if y_in.shape[-1] >= Tb
+                else jnp.pad(y_in, ((0, 0), (0, 0), (0, Tb - y_in.shape[-1])))
+            )
+            w = np.clip(
+                (n_interp - 1 - np.arange(n)) / max(n_interp - 1, 1), 0.0, 1.0
+            ).astype(np.float32)
+            wd = jnp.asarray(w)[None, :, None]  # [1, n, 1]
+            cond = (wd * embs[:, None, :] + (1.0 - wd) * embs_b[:, None, :]).reshape(
+                S * n, -1
+            )
         else:
-            Trb = max(-(-Tr // 4096) * 4096, 4096)
-            nr = 1
-            ref_seg = jnp.pad(ref_dev, ((0, 0), (0, 0), (0, Trb - Tr)))
-        B_ref = self.engine._pad_bucket(S * nr)
-        ref_seg = jnp.pad(ref_seg, ((0, B_ref - S * nr), (0, 0), (0, 0)))
-        onehot = np.zeros((S, B_ref), np.float32)
-        for s in range(S):
-            onehot[s, s * nr : (s + 1) * nr] = 1.0
-        embs = self.engine._encode_group_mean(
-            self.engine.enc_vars, ref_seg, jnp.asarray(onehot)
-        )  # [S, D] on device
+            n = Tb // L
+            cond = jnp.repeat(embs, n, axis=0)
 
         # ---- convert all stems' segments in one dispatch ----
-        n = Tb // L
         segs = y_in.reshape(S, 2, n, L).transpose(0, 2, 1, 3).reshape(S * n, 2, L)
         B_in = self.engine._pad_bucket(S * n)
         segs = jnp.pad(segs, ((0, B_in - S * n), (0, 0), (0, 0)))
-        cond = jnp.repeat(embs, n, axis=0)
         cond = jnp.pad(cond, ((0, B_in - S * n), (0, 0)))
         out = self.engine._convert_multi(self.engine.conv_vars, segs, cond)
 
         # ---- reassemble + sum + quantize on device; download once ----
+        Tb = n * L
         y = out[: S * n].reshape(S, n, 2, L).transpose(0, 2, 1, 3).reshape(S, 2, Tb)
         y = y[:, :, :T]
         mix = jnp.sum(y, axis=0)
@@ -519,7 +557,6 @@ class MixingStyleTransfer:
             mixture = outputs = None
             if (
                 getattr(cfg, "pcm_fast_path", True)
-                and not cfg.interpolation
                 and int(getattr(cfg, "segment_halo", 0) or 0) == 0
             ):
                 try:
@@ -585,6 +622,11 @@ class MixingStyleTransfer:
             load_pcm(cfg.input_file_name),
             load_pcm(cfg.reference_file_name),
             want_stems=cfg.save_each_inst,
+            reference_pcm_b=(
+                load_pcm(cfg.reference_file_name_2interpolate)
+                if cfg.interpolation
+                else None
+            ),
         )
         log.info(
             "device-resident transfer: %.1fs",

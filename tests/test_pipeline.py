@@ -317,3 +317,45 @@ def test_short_reference_encoded_whole(rng):
     long_audio = (rng.standard_normal((2, 3 * seg)) * 0.2).astype(np.float32)
     e_long = eng.embed_song(long_audio, seg)
     assert e_long.shape == got.shape and np.isfinite(e_long).all()
+
+
+def test_transfer_song_pcm_matches_host_paths(engine, rng):
+    """Device-resident PCM path == host per-stage path, for both the plain
+    and the interpolation modes (same math, one dispatch, int16 output
+    quantization is the only difference)."""
+    cfg = InferenceConfig(
+        segment_length=8192, segment_length_ref=8192, interpolate_segments=4
+    )
+    pipe = MixingStyleTransfer(engine, cfg, normalizer=None)
+    T = 3 * 8192 + 1000  # ragged length exercises the padding paths
+
+    def mk_pcm():
+        return (rng.standard_normal((4, 2, T)) * 8000.0).astype(np.int16)
+
+    in_pcm, ref_pcm, ref_b_pcm = mk_pcm(), mk_pcm(), mk_pcm()
+    to_f = lambda pcm: {
+        inst: pcm[s].astype(np.float32) / 32768.0
+        for s, inst in enumerate(cfg.instruments)
+    }
+    in_f, ref_f, ref_b_f = to_f(in_pcm), to_f(ref_pcm), to_f(ref_b_pcm)
+
+    def nrmse(a, b):
+        return float(np.sqrt(np.mean((a - b) ** 2)) / (np.sqrt(np.mean(b**2)) + 1e-12))
+
+    # plain mode
+    mix_pcm, stems = pipe.transfer_song_pcm(in_pcm, ref_pcm, want_stems=True)
+    mix_host, outs = pipe.transfer_stems(in_f, ref_f)
+    assert mix_pcm.shape == (2, T) and mix_pcm.dtype == np.int16
+    assert nrmse(mix_pcm.astype(np.float32) / 32768.0, mix_host) < 1e-3
+    for inst in cfg.instruments:
+        assert nrmse(stems[inst].astype(np.float32) / 32768.0, outs[inst]) < 1e-3
+
+    # interpolation mode
+    mix_pcm_i, _ = pipe.transfer_song_pcm(
+        in_pcm, ref_pcm, reference_pcm_b=ref_b_pcm
+    )
+    mix_host_i, _ = pipe.transfer_stems(in_f, ref_f, ref_b_f)
+    assert mix_pcm_i.shape == (2, T)
+    assert nrmse(mix_pcm_i.astype(np.float32) / 32768.0, mix_host_i) < 1e-3
+    # the two modes must actually differ (interpolation conditions on B too)
+    assert nrmse(mix_pcm_i.astype(np.float32), mix_pcm.astype(np.float32)) > 1e-4
