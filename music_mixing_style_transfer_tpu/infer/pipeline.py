@@ -437,6 +437,7 @@ class MixingStyleTransfer:
         reference_pcm: np.ndarray,
         want_stems: bool = False,
         reference_pcm_b: Optional[np.ndarray] = None,
+        sync: bool = True,
     ) -> Tuple[np.ndarray, Optional[Dict[str, np.ndarray]]]:
         """Device-resident whole-song transfer from int16 PCM.
 
@@ -528,8 +529,13 @@ class MixingStyleTransfer:
         stems_out = None
         if want_stems:
             spcm = jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0).astype(jnp.int16)
-            stems_out = {inst: np.asarray(spcm[s]) for s, inst in enumerate(insts)}
-        return np.asarray(pcm), stems_out
+            stems_out = {
+                inst: (np.asarray(spcm[s]) if sync else spcm[s])
+                for s, inst in enumerate(insts)
+            }
+        # sync=False leaves results on device (multi-song pipelining: the
+        # caller downloads after dispatching the next song's work)
+        return (np.asarray(pcm) if sync else pcm), stems_out
 
     # ------------------------------------------------------------------
     def run_directory(self, target_dir: str, output_dir: Optional[str] = None) -> List[str]:
@@ -551,55 +557,77 @@ class MixingStyleTransfer:
             tag += "_interpolation"
 
         written = []
+        pending = None  # (out_dir, mixture, outputs) — device arrays in flight
+
+        def _finish(p):
+            out_dir, mixture, outputs = p
+            os.makedirs(out_dir, exist_ok=True)
+            if cfg.save_each_inst and outputs:
+                for inst, y in outputs.items():
+                    write_wav(
+                        os.path.join(out_dir, f"{inst}_{tag}.wav"),
+                        np.asarray(y).T,
+                        cfg.sample_rate,
+                    )
+            out_path = os.path.join(out_dir, f"mixture_{tag}.wav")
+            write_wav(out_path, np.asarray(mixture).T, cfg.sample_rate)
+            written.append(out_path)
+
         for song_dir in sorted(glob.glob(os.path.join(target_dir, "*/"))):
             log.info("song: %s", song_dir)
+            out_dir = os.path.join(output_dir, os.path.relpath(song_dir, target_dir))
 
-            mixture = outputs = None
+            # fast path: this song's WAV reads + PCM upload + dispatch happen
+            # BEFORE the previous song's results are downloaded, so host I/O
+            # overlaps the device compute still in flight (2-song software
+            # pipeline; JAX async dispatch provides the queue)
+            dispatched = None
             if (
                 getattr(cfg, "pcm_fast_path", True)
                 and int(getattr(cfg, "segment_halo", 0) or 0) == 0
             ):
                 try:
-                    mixture, outputs = self._run_song_pcm(song_dir, sep_dir)
+                    dispatched = self._run_song_pcm(song_dir, sep_dir)
                 except ValueError as e:  # non-16-bit / unequal stems etc.
                     log.info("pcm fast path unavailable (%s); host path", e)
 
-            if mixture is None:
+            if pending is not None:
+                _finish(pending)
+                pending = None
 
-                def load_stems(name):
-                    return {
-                        inst: read_wav_stereo_ct(
-                            os.path.join(song_dir, sep_dir, name, inst + ".wav"),
-                            expected_rate=cfg.sample_rate,
-                        ).clip(-1, 1)
-                        for inst in cfg.instruments
-                    }
+            if dispatched is not None:
+                pending = (out_dir,) + dispatched
+                continue
 
-                input_stems = load_stems(cfg.input_file_name)
-                reference_stems = load_stems(cfg.reference_file_name)
-                ref_b = (
-                    load_stems(cfg.reference_file_name_2interpolate)
-                    if cfg.interpolation
-                    else None
-                )
-                mixture, outputs = self.transfer_stems(
-                    input_stems, reference_stems, ref_b
-                )
+            def load_stems(name):
+                return {
+                    inst: read_wav_stereo_ct(
+                        os.path.join(song_dir, sep_dir, name, inst + ".wav"),
+                        expected_rate=cfg.sample_rate,
+                    ).clip(-1, 1)
+                    for inst in cfg.instruments
+                }
 
-            out_dir = os.path.join(output_dir, os.path.relpath(song_dir, target_dir))
-            os.makedirs(out_dir, exist_ok=True)
-            if cfg.save_each_inst and outputs:
-                for inst, y in outputs.items():
-                    write_wav(
-                        os.path.join(out_dir, f"{inst}_{tag}.wav"), y.T, cfg.sample_rate
-                    )
-            out_path = os.path.join(out_dir, f"mixture_{tag}.wav")
-            write_wav(out_path, mixture.T, cfg.sample_rate)
-            written.append(out_path)
+            input_stems = load_stems(cfg.input_file_name)
+            reference_stems = load_stems(cfg.reference_file_name)
+            ref_b = (
+                load_stems(cfg.reference_file_name_2interpolate)
+                if cfg.interpolation
+                else None
+            )
+            mixture, outputs = self.transfer_stems(
+                input_stems, reference_stems, ref_b
+            )
+            _finish((out_dir, mixture, outputs))
+
+        if pending is not None:
+            _finish(pending)
         return written
 
     def _run_song_pcm(self, song_dir: str, sep_dir: str):
-        """Load one song's stems as raw PCM and run the device-resident path."""
+        """Load one song's stems as raw PCM and dispatch the device-resident
+        path; returns DEVICE arrays (the caller downloads when it drains the
+        pipeline)."""
         from ..data.wavio import read_wav_stereo_ct_i16
 
         cfg = self.cfg
@@ -627,9 +655,10 @@ class MixingStyleTransfer:
                 if cfg.interpolation
                 else None
             ),
+            sync=False,
         )
         log.info(
-            "device-resident transfer: %.1fs",
+            "device-resident dispatch: %.1fs",
             __import__("time").perf_counter() - t0,
         )
         return mixture, stems_out

@@ -359,3 +359,31 @@ def test_transfer_song_pcm_matches_host_paths(engine, rng):
     assert nrmse(mix_pcm_i.astype(np.float32) / 32768.0, mix_host_i) < 1e-3
     # the two modes must actually differ (interpolation conditions on B too)
     assert nrmse(mix_pcm_i.astype(np.float32), mix_pcm.astype(np.float32)) > 1e-4
+
+
+def test_run_directory_multi_song_pipelined(engine, tmp_path, rng):
+    """Multiple songs drain correctly through the 2-song software pipeline
+    (song i+1's host I/O overlaps song i's in-flight device work)."""
+    cfg = InferenceConfig(
+        segment_length=8192,
+        segment_length_ref=8192,
+        normalize_input=False,
+        do_not_separate=True,
+        stem_level_directory_name="separated",
+    )
+    target = tmp_path / "songs"
+    lengths = {"songA": 11_000, "songB": 19_000, "songC": 9_000}
+    for song, T in lengths.items():
+        for name in ["input", "reference"]:
+            for inst in cfg.instruments:
+                x = (rng.standard_normal((T, 2)) * 0.2).astype(np.float32)
+                write_wav(str(target / song / "separated" / name / f"{inst}.wav"), x, SR)
+
+    pipeline = MixingStyleTransfer(engine, cfg)
+    written = pipeline.run_directory(str(target) + "/")
+    assert len(written) == 3
+    for path, (song, T) in zip(written, sorted(lengths.items())):
+        assert song in path
+        mix, rate = read_wav(path)
+        assert rate == SR and mix.shape[0] == T
+        assert np.isfinite(mix).all() and np.abs(mix).max() > 0
