@@ -60,6 +60,30 @@ def _load_sample_segments(n: int, length: int) -> np.ndarray:
     return np.stack(segs[:n]).astype(np.float32)
 
 
+def check_envelope_kernel() -> dict:
+    """Pallas envelope kernel vs the exact scan, on-device, at whole-song
+    length across slab boundaries (compressor + expander + identity lanes)."""
+    import jax.numpy as jnp
+
+    from ..ops.compressor import compressor_process
+    from ..ops.pallas.envelope import compressor_pallas
+
+    T = 300_000  # > one 2^17 slab at 8 lanes -> exercises the carried state
+    rng = np.random.default_rng(3)
+    x = jnp.asarray((rng.standard_normal((6, T)) * 0.4).astype(np.float32))
+    th = jnp.asarray([-20.0, -25.0, -30.0, -18.0, -24.0, -20.0])
+    at = jnp.asarray([10.0, 5.0, 2.0, 15.0, 10.0, 10.0])
+    re = jnp.asarray([100.0, 60.0, 40.0, 200.0, 100.0, 100.0])
+    ra = jnp.asarray([3.0, 4.0, 2.0, 0.5, 0.25, 1.0])  # comp, exp, identity
+
+    y_k = compressor_pallas(x, th, at, re, ra)
+    y_s = compressor_process(x, th[:, None], at, re, ra[:, None], 0.0)
+    err = float(jnp.max(jnp.abs(y_k - y_s)))
+    out = {"max_abs_err": err, "pass": err < 1e-4}
+    print(f"envelope kernel vs scan: max_abs_err={err:.3e}", flush=True)
+    return out
+
+
 def check_fused_kernel_blocks() -> dict:
     """Fused Pallas block vs pure-XLA math, per production dilation."""
     import jax
@@ -199,12 +223,18 @@ def main(argv=None) -> int:
 
     backend = jax.default_backend()
     report = {"backend": backend}
+    report["envelope_kernel"] = check_envelope_kernel()
     report["fused_kernel_blocks"] = check_fused_kernel_blocks()
     report["full_model_fused_vs_xla"] = check_full_model_fused_vs_xla()
     report["bf16_fidelity"] = check_bf16_fidelity()
     report["all_pass"] = all(
         report[k].get("pass", False)
-        for k in ("fused_kernel_blocks", "full_model_fused_vs_xla", "bf16_fidelity")
+        for k in (
+            "envelope_kernel",
+            "fused_kernel_blocks",
+            "full_model_fused_vs_xla",
+            "bf16_fidelity",
+        )
     )
 
     out_path = args.out or os.path.join(
