@@ -17,6 +17,7 @@ directories, or trainer checkpoint directories — all auto-detected
 from __future__ import annotations
 
 import os
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -284,11 +285,9 @@ class MixingStyleTransfer:
 
         Returns ``(mixture [2, T], per-stem outputs)``.
         """
-        import time as _time
-
         cfg = self.cfg
         if self.normalizer is not None and cfg.normalize_input:
-            t0 = _time.perf_counter()
+            t0 = time.perf_counter()
             if hasattr(self.normalizer, "normalize_stems"):
                 normalized = self.normalizer.normalize_stems(
                     {i: input_stems[i] for i in cfg.instruments}
@@ -299,11 +298,11 @@ class MixingStyleTransfer:
                     for inst, x in input_stems.items()
                 }
             input_stems = {i: np.clip(v, -1.0, 1.0) for i, v in normalized.items()}
-            log.info("fx-normalization: %.1fs", _time.perf_counter() - t0)
+            log.info("fx-normalization: %.1fs", time.perf_counter() - t0)
         if reference_stems_b is None:
-            t0 = _time.perf_counter()
+            t0 = time.perf_counter()
             out = self._transfer_batched(input_stems, reference_stems)
-            log.info("embed+convert: %.1fs", _time.perf_counter() - t0)
+            log.info("embed+convert: %.1fs", time.perf_counter() - t0)
             return out
 
         outputs: Dict[str, np.ndarray] = {}
@@ -521,14 +520,17 @@ class MixingStyleTransfer:
         out = self.engine._convert_multi(self.engine.conv_vars, segs, cond)
 
         # ---- reassemble + sum + quantize on device; download once ----
-        Tb = n * L
-        y = out[: S * n].reshape(S, n, 2, L).transpose(0, 2, 1, 3).reshape(S, 2, Tb)
+        y = out[: S * n].reshape(S, n, 2, L).transpose(0, 2, 1, 3).reshape(S, 2, n * L)
         y = y[:, :, :T]
         mix = jnp.sum(y, axis=0)
-        pcm = jnp.clip(jnp.round(mix * 32768.0), -32768.0, 32767.0).astype(jnp.int16)
+
+        def to_pcm16(a):
+            return jnp.clip(jnp.round(a * 32768.0), -32768.0, 32767.0).astype(jnp.int16)
+
+        pcm = to_pcm16(mix)
         stems_out = None
         if want_stems:
-            spcm = jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0).astype(jnp.int16)
+            spcm = to_pcm16(y)
             stems_out = {
                 inst: (np.asarray(spcm[s]) if sync else spcm[s])
                 for s, inst in enumerate(insts)
@@ -582,10 +584,7 @@ class MixingStyleTransfer:
             # overlaps the device compute still in flight (2-song software
             # pipeline; JAX async dispatch provides the queue)
             dispatched = None
-            if (
-                getattr(cfg, "pcm_fast_path", True)
-                and int(getattr(cfg, "segment_halo", 0) or 0) == 0
-            ):
+            if cfg.pcm_fast_path and cfg.segment_halo == 0:
                 try:
                     dispatched = self._run_song_pcm(song_dir, sep_dir)
                 except ValueError as e:  # non-16-bit / unequal stems etc.
@@ -645,7 +644,7 @@ class MixingStyleTransfer:
                 [np.pad(s, ((0, 0), (0, T - s.shape[-1]))) for s in stems]
             )
 
-        t0 = __import__("time").perf_counter()
+        t0 = time.perf_counter()
         mixture, stems_out = self.transfer_song_pcm(
             load_pcm(cfg.input_file_name),
             load_pcm(cfg.reference_file_name),
@@ -659,7 +658,7 @@ class MixingStyleTransfer:
         )
         log.info(
             "device-resident dispatch: %.1fs",
-            __import__("time").perf_counter() - t0,
+            time.perf_counter() - t0,
         )
         return mixture, stems_out
 

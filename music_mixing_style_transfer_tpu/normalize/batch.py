@@ -147,7 +147,7 @@ def _stream_peaks_batch(
         fmaxs.append(fm)
         fdbs.append(fd)
 
-    cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1))
+    cat = partial(jnp.concatenate, axis=-1)
     mask = onset_mask_from_features(cat(hfcs), cat(fdbs))
     peaks, _ = mean_peak_from_frames(cat(fmaxs), mask, percentile=percentile)
     return peaks.reshape(N, Gc)

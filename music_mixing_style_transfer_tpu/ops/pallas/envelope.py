@@ -160,9 +160,14 @@ def pack_lane_params(
 
     Returns ``(ppk [Lb, 4, 8, 128], env0 [Lb, 8, 128])`` with lanes padded to
     a multiple of 1024 (padded lanes get ratio 1 = identity)."""
+    from ..compressor import alphas
+
     L = int(np.prod(batch_shape)) if batch_shape else 1
-    a_att = jnp.exp(-1.0 / (0.001 * sample_rate * jnp.asarray(attack_ms, jnp.float32)))
-    a_rel = jnp.exp(-1.0 / (0.001 * sample_rate * jnp.asarray(release_ms, jnp.float32)))
+    a_att, a_rel = alphas(
+        jnp.asarray(attack_ms, jnp.float32),
+        jnp.asarray(release_ms, jnp.float32),
+        sample_rate,
+    )
     pvec = [
         jnp.broadcast_to(jnp.asarray(p, jnp.float32), batch_shape).reshape(L)
         for p in (threshold, ratio, a_att, a_rel)
