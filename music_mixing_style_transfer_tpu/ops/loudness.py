@@ -77,8 +77,18 @@ def integrated_loudness(x: jnp.ndarray, rate: int = 44100) -> jnp.ndarray:
     usable = hop * (num_blocks - 1) + block_len
     if usable > y.shape[-1]:
         y = jnp.pad(y, ((0, 0), (0, usable - y.shape[-1])))
-    frames_ = frame(y[..., :usable], block_len, hop)  # [C, J, block]
-    z = jnp.mean(frames_**2, axis=-1)  # [C, J] mean square per block
+    if block_len == 4 * hop:
+        # 75% overlap means each 400 ms block is exactly 4 consecutive 100 ms
+        # hop chunks — build block mean-squares from non-overlapped partial
+        # sums (one pass over the audio) instead of a 4x-overlapping gather
+        n_hops = usable // hop  # == num_blocks + 3
+        psum = jnp.sum(
+            y[..., : n_hops * hop].reshape(y.shape[0], n_hops, hop) ** 2, axis=-1
+        )  # [C, J+3]
+        z = (psum[:, :-3] + psum[:, 1:-2] + psum[:, 2:-1] + psum[:, 3:]) / block_len
+    else:  # int() rounding broke the 4:1 ratio (non-standard rate)
+        frames_ = frame(y[..., :usable], block_len, hop)  # [C, J, block]
+        z = jnp.mean(frames_**2, axis=-1)  # [C, J] mean square per block
 
     l_j = -0.691 + 10.0 * jnp.log10(jnp.maximum(jnp.sum(G[:, None] * z, axis=0), 1e-30))
 
