@@ -232,7 +232,51 @@ class BatchedAudioEffectsNormalizer:
         out = jnp.where(silent[:, None], ch, out)
         return out.reshape(S, 2, -1)
 
+    def _comp_static(self, insts: Sequence[str]):
+        """Config-only per-channel compression constants + BOTH mode grids
+        (edge-padded to a common width). Everything here is data-independent,
+        so the data-dependent mode choice can happen on device."""
+        cfg = self.cfg
+        N = len(insts) * 2
+        ref_peak = np.asarray(
+            [float(self.features["compression"][insts[n // 2]][0]) for n in range(N)]
+        )
+        ref_std = np.asarray(
+            [float(self.features["compression"][insts[n // 2]][1]) for n in range(N)]
+        )
+        attacks = np.asarray([cfg.comp_settings[insts[n // 2]][0] for n in range(N)], np.float32)
+        releases = np.asarray([cfg.comp_settings[insts[n // 2]][1] for n in range(N)], np.float32)
+
+        grids = {}  # mode -> (grid_r [N, Gm], grid_t [N, Gm])
+        per_mode = []
+        for n in range(N):
+            base = float(cfg.comp_settings[insts[n // 2]][2])
+            Rd, Td = _comp_grid(base, cfg.comp_min_th, cfg.comp_max_ratio, expander=False)
+            Ru, Tu = _comp_grid(base, cfg.comp_min_th, cfg.comp_max_ratio, expander=True)
+            per_mode.append(((Rd, Td), (1.0 / Ru, Tu)))
+        Gm = max(max(len(g[0][0]), len(g[1][0])) for g in per_mode)
+        for mi, mode in enumerate(("down", "up")):
+            gr = np.ones((N, Gm), np.float32)
+            gt = np.zeros((N, Gm), np.float32)
+            for n in range(N):
+                R, T = per_mode[n][mi]
+                g = len(R)
+                gr[n, :g], gt[n, :g] = R, T
+                gr[n, g:], gt[n, g:] = R[-1], T[-1]
+            grids[mode] = (gr, gt)
+        return ref_peak, ref_std, attacks, releases, grids, Gm
+
     def _stage_compression(self, stems: jnp.ndarray, insts: Sequence[str]) -> jnp.ndarray:
+        """Compression matching, device-resident in the common case.
+
+        The mode decision (down / up / in-band), the first candidate block's
+        sweep, the first-satisfying selection, AND the final compression all
+        run on device — the only host round trip is one boolean ("did every
+        active channel find a candidate in the first block?"), and it is read
+        back AFTER the final compression is already dispatched, so its
+        latency hides behind device work. Channels that need candidates
+        beyond the first block (rare: chosen indices cluster in the first few
+        dozen grid entries) fall back to the host-stepped sweep."""
         cfg = self.cfg
         S = stems.shape[0]
         N = S * 2
@@ -242,73 +286,82 @@ class BatchedAudioEffectsNormalizer:
         peaks = jnp.max(jnp.abs(ch), axis=-1, keepdims=True)
         x = ch * (10 ** (cfg.comp_peak_norm / 20.0) / jnp.maximum(peaks, 1e-30))
 
-        feat, _ = measure_mean_peak(x, percentile=float(cfg.comp_percentile))
-        feat = np.asarray(feat)  # [N]
+        featd, _ = measure_mean_peak(x, percentile=float(cfg.comp_percentile))
 
-        ref_peak = np.asarray(
-            [float(self.features["compression"][insts[n // 2]][0]) for n in range(N)]
+        ref_peak, ref_std, attacks, releases, grids, Gm = self._comp_static(insts)
+        lo_d = jnp.asarray(ref_peak - ref_std)
+        hi_d = jnp.asarray(ref_peak + ref_std)
+
+        in_band = (featd > lo_d) & (featd < hi_d)
+        down_d = (~in_band) & (featd > lo_d)
+        up_d = (~in_band) & ~down_d & bool(cfg.comp_use_expander)
+        active_d = (down_d | up_d) & jnp.isfinite(featd)
+
+        grid_r = jnp.where(
+            down_d[:, None], jnp.asarray(grids["down"][0]), jnp.asarray(grids["up"][0])
         )
-        ref_std = np.asarray(
-            [float(self.features["compression"][insts[n // 2]][1]) for n in range(N)]
+        grid_t = jnp.where(
+            down_d[:, None], jnp.asarray(grids["down"][1]), jnp.asarray(grids["up"][1])
         )
-        base_ratio = np.asarray(
-            [cfg.comp_settings[insts[n // 2]][2] for n in range(N)], np.float64
-        )
-        attacks = np.asarray([cfg.comp_settings[insts[n // 2]][0] for n in range(N)], np.float32)
-        releases = np.asarray([cfg.comp_settings[insts[n // 2]][1] for n in range(N)], np.float32)
 
-        in_band = (feat > ref_peak - ref_std) & (feat < ref_peak + ref_std)
-        down = (~in_band) & (feat > ref_peak - ref_std)
-        up = (~in_band) & ~down & np.asarray([cfg.comp_use_expander] * N)
-        active = (down | up) & np.isfinite(feat)  # no-onset channels skip
-
-        # per-channel candidate grids (effective ratios; identity when inactive)
-        G = 0
-        cand_r, cand_t = [], []
-        for n in range(N):
-            if down[n]:
-                R, T = _comp_grid(base_ratio[n], cfg.comp_min_th, cfg.comp_max_ratio, expander=False)
-            elif up[n]:
-                R, T = _comp_grid(base_ratio[n], cfg.comp_min_th, cfg.comp_max_ratio, expander=True)
-                R = 1.0 / R
-            else:
-                R, T = np.ones(1, np.float32), np.zeros(1, np.float32)
-            cand_r.append(R.astype(np.float32))
-            cand_t.append(T.astype(np.float32))
-            G = max(G, len(R))
-        grid_r = np.ones((N, G), np.float32)
-        grid_t = np.zeros((N, G), np.float32)
-        for n in range(N):
-            g = len(cand_r[n])
-            grid_r[n, :g] = cand_r[n]
-            grid_t[n, :g] = cand_t[n]
-            grid_r[n, g:] = cand_r[n][-1]
-            grid_t[n, g:] = cand_t[n][-1]
-
-        # candidates per pass: fill the envelope kernel's 1024-lane width
-        # (the streaming sweep bounds HBM by slab, not song length, so the
-        # lane grid is the only limit). One pass nearly always suffices —
-        # chosen indices cluster in the first few dozen grid entries.
+        # first candidate block fills the envelope kernel's 1024-lane width
         from ..ops.pallas.envelope import BLOCK_LANES
 
-        chunk = int(min(G, max(1, BLOCK_LANES // max(N, 1))))
-        chosen = np.full(N, G - 1, np.int64)
-        found = ~active  # inactive channels need no search
-        for lo in range(0, G, chunk):
+        Gc = int(min(Gm, max(1, BLOCK_LANES // max(N, 1))))
+        pk = _stream_peaks_batch(
+            x, grid_r[:, :Gc], grid_t[:, :Gc], attacks, releases,
+            cfg.sample_rate, float(cfg.comp_percentile),
+        )  # [N, Gc] on device
+        ok = jnp.where(down_d[:, None], pk < hi_d[:, None], pk > lo_d[:, None])
+        any0 = jnp.any(ok, axis=1)
+        # first satisfying candidate; reference falls through to the LAST
+        # candidate when none satisfies (edge padding makes Gm-1 per-channel)
+        idx = jnp.where(any0, jnp.argmax(ok, axis=1), Gm - 1)
+        sel_r = jnp.take_along_axis(grid_r, idx[:, None], axis=1)[:, 0]
+        sel_t = jnp.take_along_axis(grid_t, idx[:, None], axis=1)[:, 0]
+        sel_r = jnp.where(active_d, sel_r, 1.0)
+        sel_t = jnp.where(active_d, sel_t, 0.0)
+        y = _compress_chosen(
+            x, sel_r, sel_t, jnp.asarray(attacks), jnp.asarray(releases),
+            cfg.sample_rate,
+        )
+        # inactive (in-band) channels keep the peak-normalized x (reference :379-381)
+        y = jnp.where(active_d[:, None], y, x)
+
+        # the ONE host round trip — overlaps the final compression above
+        if Gc < Gm and bool(np.asarray(jnp.any(active_d & ~any0))):
+            y = self._comp_host_sweep(
+                x, np.asarray(featd), np.asarray(down_d), np.asarray(up_d),
+                np.asarray(active_d), np.asarray(grid_r), np.asarray(grid_t),
+                ref_peak, ref_std, attacks, releases, Gc, Gm,
+            )
+        return y.reshape(S, 2, -1)
+
+    def _comp_host_sweep(
+        self, x, feat, down, up, active, grid_r, grid_t,
+        ref_peak, ref_std, attacks, releases, Gc, Gm,
+    ) -> jnp.ndarray:
+        """Host-stepped early-exit sweep over the full grid (the rare path:
+        some channel's first satisfying candidate lies beyond block 0)."""
+        cfg = self.cfg
+        N = x.shape[0]
+        chosen = np.full(N, Gm - 1, np.int64)
+        found = ~active
+        for lo in range(0, Gm, Gc):
             if found.all():
                 break
-            r = grid_r[:, lo : lo + chunk]
-            t = grid_t[:, lo : lo + chunk]
-            if r.shape[1] < chunk:
-                r = np.pad(r, ((0, 0), (0, chunk - r.shape[1])), mode="edge")
-                t = np.pad(t, ((0, 0), (0, chunk - t.shape[1])), mode="edge")
+            r = grid_r[:, lo : lo + Gc]
+            t = grid_t[:, lo : lo + Gc]
+            if r.shape[1] < Gc:
+                r = np.pad(r, ((0, 0), (0, Gc - r.shape[1])), mode="edge")
+                t = np.pad(t, ((0, 0), (0, Gc - t.shape[1])), mode="edge")
             pk = np.asarray(
                 _stream_peaks_batch(
                     x, r, t, attacks, releases, cfg.sample_rate,
                     float(cfg.comp_percentile),
                 )
             )
-            n_valid = min(chunk, G - lo)
+            n_valid = min(Gc, Gm - lo)
             ok = np.where(
                 down[:, None], pk < (ref_peak + ref_std)[:, None],
                 pk > (ref_peak - ref_std)[:, None],
@@ -324,9 +377,7 @@ class BatchedAudioEffectsNormalizer:
             x, jnp.asarray(sel_r), jnp.asarray(sel_t),
             jnp.asarray(attacks), jnp.asarray(releases), cfg.sample_rate,
         )
-        # inactive (in-band) channels keep the peak-normalized x (reference :379-381)
-        y = jnp.where(jnp.asarray(active)[:, None], y, x)
-        return y.reshape(S, 2, -1)
+        return jnp.where(jnp.asarray(active)[:, None], y, x)
 
     def _stage_imager(self, stems: jnp.ndarray, insts: Sequence[str]) -> jnp.ndarray:
         targets = jnp.asarray([float(self.features["imager"][i]) for i in insts])
