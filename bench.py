@@ -164,11 +164,11 @@ def _ensure(d: str) -> str:
 
 def feature_rtf(args) -> float:
     """Feature-extraction CLI hot path: segment + encode + mean embedding."""
-    from music_mixing_style_transfer_tpu.data.wavio import read_wav_stereo_ct
+    from music_mixing_style_transfer_tpu.data.wavio import read_wav_stereo_ct_i16
     from music_mixing_style_transfer_tpu.infer.pipeline import StyleTransferEngine
 
     engine = StyleTransferEngine(dtype=args.dtype)
-    x = read_wav_stereo_ct(
+    x = read_wav_stereo_ct_i16(
         "/tmp/bench_e2e/songs/song0/separated/mdx_extra/input/other.wav"
     )
     engine.embed_song(x, SEG)  # warmup

@@ -13,7 +13,7 @@ import sys
 
 import numpy as np
 
-from ..data.wavio import read_wav_stereo_ct
+from ..data.wavio import read_wav_stereo_ct, read_wav_stereo_ct_i16
 from ..infer.pipeline import StyleTransferEngine
 from ..utils.logging import RTFMeter, get_logger
 
@@ -47,7 +47,12 @@ def main(argv=None) -> int:
     paths = sorted(glob.glob(os.path.join(args.target_dir, "**", "*.wav"), recursive=True))
     for step, path in enumerate(paths):
         log.info("[%d/%d] %s", step + 1, len(paths), path)
-        audio = read_wav_stereo_ct(path)
+        try:
+            # 16-bit PCM uploads raw int16 and dequantizes on device: half
+            # the host->device traffic, bit-identical to the float path
+            audio = read_wav_stereo_ct_i16(path)
+        except ValueError:
+            audio = read_wav_stereo_ct(path)
         with meter.measure(audio.shape[-1]):
             emb = engine.embed_song(audio, args.segment_length)
         rel = os.path.relpath(path, args.target_dir)
