@@ -30,7 +30,7 @@ from typing import Optional
 import numpy as np
 
 from .config import InferenceConfig, NormalizationConfig
-from .data.wavio import read_wav_stereo_ct
+from .data.wavio import read_wav_stereo_ct, read_wav_stereo_ct_i16
 from .infer.pipeline import MixingStyleTransfer, StyleTransferEngine
 from .utils.logging import get_logger
 
@@ -64,7 +64,16 @@ class StyleTransferService:
     def embed(self, wav_path: str, segment_length: Optional[int] = None):
         with self._lock:
             self.requests += 1
-            audio = read_wav_stereo_ct(wav_path, expected_rate=self.cfg.sample_rate)
+            try:
+                # 16-bit PCM uploads int16 and dequantizes on device:
+                # half the tunnel traffic, bit-identical embeddings
+                audio = read_wav_stereo_ct_i16(
+                    wav_path, expected_rate=self.cfg.sample_rate
+                )
+            except ValueError:
+                audio = read_wav_stereo_ct(
+                    wav_path, expected_rate=self.cfg.sample_rate
+                )
             emb = self.engine.embed_song(
                 audio, segment_length or self.cfg.segment_length_ref
             )
