@@ -118,15 +118,19 @@ def e2e_rtf(args) -> dict:
     here = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "music_mixing_style_transfer_tpu", "weights")
     tmp = "/tmp/bench_e2e"
-    song = os.path.join(tmp, "songs", "song0", "separated", "mdx_extra")
-    _tiled_song_stems(
-        f"{SAMPLES}/style_transfer/#0/separated/mdx_extra/input",
-        args.seconds, _ensure(os.path.join(song, "input")), "input",
-    )
-    _tiled_song_stems(
-        f"{SAMPLES}/interpolation/#0/separated/mdx_extra/reference",
-        args.seconds, _ensure(os.path.join(song, "reference")), "reference",
-    )
+    # two songs: run_directory pipelines host I/O + PCM upload of song i+1
+    # under song i's in-flight device work, so the 2-song aggregate measures
+    # the production serving throughput, not one song's serial latency
+    for si in range(2):
+        song = os.path.join(tmp, "songs", f"song{si}", "separated", "mdx_extra")
+        _tiled_song_stems(
+            f"{SAMPLES}/style_transfer/#0/separated/mdx_extra/input",
+            args.seconds, _ensure(os.path.join(song, "input")), "input",
+        )
+        _tiled_song_stems(
+            f"{SAMPLES}/interpolation/#0/separated/mdx_extra/reference",
+            args.seconds, _ensure(os.path.join(song, "reference")), "reference",
+        )
 
     normalizer = AudioEffectsNormalizer(
         os.path.join(here, "musdb18_fxfeatures_eqcompimagegain.npy"),
@@ -146,12 +150,14 @@ def e2e_rtf(args) -> dict:
                 os.path.join(tmp, "songs"), os.path.join(tmp, "out")
             )
             dt = time.perf_counter() - t0
-            y = read_wav_stereo_ct(written[0])
-            assert np.isfinite(y).all() and np.abs(y).max() > 1e-4
+            assert len(written) == 2
+            for w in written:
+                y = read_wav_stereo_ct(w)
+                assert np.isfinite(y).all() and np.abs(y).max() > 1e-4
             return dt
 
         run()  # compile + cache warmup (all shapes identical on 2nd run)
-        out[key] = args.seconds / run()
+        out[key] = 2 * args.seconds / run()
         if fast and args.skip_e2e_host:
             break
     return out

@@ -254,13 +254,18 @@ class BatchedAudioEffectsNormalizer:
             Rd, Td = _comp_grid(base, cfg.comp_min_th, cfg.comp_max_ratio, expander=False)
             Ru, Tu = _comp_grid(base, cfg.comp_min_th, cfg.comp_max_ratio, expander=True)
             per_mode.append(((Rd, Td), (1.0 / Ru, Tu)))
-        Gm = max(max(len(g[0][0]), len(g[1][0])) for g in per_mode)
+        Gm = max(1, max(max(len(g[0][0]), len(g[1][0])) for g in per_mode))
         for mi, mode in enumerate(("down", "up")):
             gr = np.ones((N, Gm), np.float32)
             gt = np.zeros((N, Gm), np.float32)
             for n in range(N):
                 R, T = per_mode[n][mi]
                 g = len(R)
+                if g == 0:
+                    # empty grid (possible under narrow comp configs):
+                    # identity candidates only — the channel falls through
+                    # uncompressed like the reference's empty sweep loop
+                    continue
                 gr[n, :g], gt[n, :g] = R, T
                 gr[n, g:], gt[n, g:] = R[-1], T[-1]
             grids[mode] = (gr, gt)

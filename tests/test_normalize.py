@@ -302,3 +302,55 @@ def test_stream_peaks_matches_fullpass(rng):
     )
     ref, _ = measure_mean_peak(y, percentile=75.0)
     np.testing.assert_allclose(pk, np.asarray(ref).reshape(N, Gc), rtol=0, atol=1e-3)
+
+
+def test_comp_fallback_sweep_matches_fullwidth(normalizer):
+    """The rare host-stepped sweep (first satisfying candidate beyond the
+    first lane block) must select exactly what one full-width device pass
+    selects — and an empty mode grid (narrow comp configs) must fall
+    through uncompressed instead of crashing (regression)."""
+    import music_mixing_style_transfer_tpu.normalize.batch as batch_mod
+    import music_mixing_style_transfer_tpu.ops.pallas.envelope as env_mod
+    from music_mixing_style_transfer_tpu.normalize.batch import (
+        BatchedAudioEffectsNormalizer,
+    )
+
+    # small grid so the full-width reference pass stays CPU-cheap; this
+    # config also produces an EMPTY down-grid for some base ratios
+    cfg = dataclasses.replace(normalizer.cfg, comp_min_th=-20.0, comp_max_ratio=5)
+    b = BatchedAudioEffectsNormalizer(normalizer.features, cfg)
+
+    rng = np.random.default_rng(11)
+    T = 2**14
+    # extreme crest factor: mean-peak far above the target band, so the
+    # match (if any) sits deep in the candidate grid
+    x = (rng.standard_normal((2, T)) * 0.002).astype(np.float32)
+    for k in range(14):
+        x[:, 500 + k * 1100] = 0.9
+    stems = np.stack([x, (rng.standard_normal((2, T)) * 0.1).astype(np.float32)])
+    fft = cfg.fft_size
+    xpad = jnp.asarray(np.stack([np.pad(s, ((0, 0), (fft, fft))) for s in stems]))
+
+    orig = BatchedAudioEffectsNormalizer._comp_host_sweep
+    calls = []
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    BL = env_mod.BLOCK_LANES
+    BatchedAudioEffectsNormalizer._comp_host_sweep = spy
+    env_mod.BLOCK_LANES = 32  # Gc = 8 candidates per pass -> chunked sweep
+    try:
+        out_chunked = np.asarray(b._stage_compression(xpad, ["drums", "vocals"]))
+    finally:
+        env_mod.BLOCK_LANES = BL
+        BatchedAudioEffectsNormalizer._comp_host_sweep = orig
+    assert calls, "probe no longer exercises the fallback sweep"
+
+    env_mod.BLOCK_LANES = 1 << 20  # whole grid in one device pass
+    try:
+        out_full = np.asarray(b._stage_compression(xpad, ["drums", "vocals"]))
+    finally:
+        env_mod.BLOCK_LANES = BL
+    np.testing.assert_array_equal(out_chunked, out_full)
