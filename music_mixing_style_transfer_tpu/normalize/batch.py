@@ -6,8 +6,8 @@ dozens of small dispatches. This module runs ALL stems' channels through each
 normalization stage together:
 
 - loudness: vmapped BS.1770 + per-stem gains (one dispatch)
-- EQ matching: one batched average-spectrum call, per-channel FIR design on
-  host (tiny), one grouped-conv zero-phase filtering dispatch
+- EQ matching: batched average spectrum, per-channel FIR design, and
+  zero-phase filtering all in one device dispatch chain (no host round trip)
 - compression matching: one chunked (candidate x channel) grid sweep with
   per-channel modes (down/up/none) and early exit when every channel has
   found its first satisfying candidate
@@ -34,7 +34,7 @@ from ..ops.stft import sqrt_hann_window, stft
 from .matching import (
     _comp_grid,
     amp_to_db,
-    design_eq_fir,
+    design_eq_fir_batch,
     measure_mean_peak,
 )
 
@@ -217,18 +217,16 @@ class BatchedAudioEffectsNormalizer:
         # longest stem must not dilute the average spectrum
         spans = np.asarray([2 * cfg.fft_size + lengths[n // 2] for n in range(S * 2)])
         valid = np.maximum(1 + (spans - cfg.fft_size) // cfg.hop_length, 1)
-        specs = np.asarray(
-            _batched_avg_spectrum(
-                y, jnp.asarray(valid, jnp.int32), cfg.fft_size, cfg.hop_length
-            )
+        specs = _batched_avg_spectrum(
+            y, jnp.asarray(valid, jnp.int32), cfg.fft_size, cfg.hop_length
         )
-        taps = np.stack(
-            [
-                design_eq_fir(specs[n], np.asarray(self.features["eq"][insts[n // 2]]), cfg.ntaps)
-                for n in range(S * 2)
-            ]
+        # FIR design on device (matches scipy firwin2 to f32 precision):
+        # the whole EQ stage is one dispatch chain, no host round trip
+        refs = jnp.asarray(
+            np.stack([self.features["eq"][insts[n // 2]] for n in range(S * 2)])
         )
-        out = _grouped_fir_filtfilt(y, jnp.asarray(taps))
+        taps = design_eq_fir_batch(specs, refs, cfg.ntaps)
+        out = _grouped_fir_filtfilt(y, taps)
         out = jnp.where(silent[:, None], ch, out)
         return out.reshape(S, 2, -1)
 

@@ -66,6 +66,36 @@ def design_eq_fir(
     return scipy.signal.firwin2(ntaps, frq, diff, window="hamming").astype(np.float32)
 
 
+@partial(jax.jit, static_argnames=("ntaps",))
+def design_eq_fir_batch(
+    audio_specs: jnp.ndarray, ref_specs: jnp.ndarray, ntaps: int = 1001
+) -> jnp.ndarray:
+    """Device-resident batched FIR design: ``[N, m] x [N, m] -> [N, ntaps]``.
+
+    Same construction as :func:`design_eq_fir`'s ``scipy.signal.firwin2``
+    (type-I linear phase: interpolate the desired response onto a uniform
+    ``1 + 2**ceil(log2(ntaps))``-point grid, apply the linear-phase shift,
+    irfft, symmetric hamming window) so the batched normalizer's EQ stage
+    needs no spectra download / taps upload host round trip.
+    """
+    m = audio_specs.shape[-1]
+    diff_db = 20.0 * (
+        jnp.log10(ref_specs + 1e-30) - jnp.log10(audio_specs + 1e-30)
+    )
+    gain = jnp.sqrt(jnp.power(10.0, diff_db / 20.0))
+
+    nfreqs = 1 + 2 ** int(np.ceil(np.log2(ntaps)))
+    # source grid is uniform on [0, 1] with m points -> plain linear interp
+    x = jnp.linspace(0.0, 1.0, nfreqs)
+    src = jnp.arange(m, dtype=jnp.float32) / (m - 1)
+    fx = jax.vmap(lambda g: jnp.interp(x, src, g))(gain)
+    shift = jnp.exp(-(ntaps - 1) / 2.0 * 1j * jnp.pi * x)
+    out_full = jnp.fft.irfft(fx * shift[None, :], n=2 * (nfreqs - 1), axis=-1)
+    n = jnp.arange(ntaps)
+    wind = 0.54 - 0.46 * jnp.cos(2.0 * jnp.pi * n / (ntaps - 1))
+    return (out_full[:, :ntaps] * wind[None, :]).astype(jnp.float32)
+
+
 def eq_match(
     audio: jnp.ndarray,
     ref_spec: np.ndarray,
