@@ -517,6 +517,12 @@ class MixingStyleTransfer:
         B_in = self.engine._pad_bucket(S * n)
         segs = jnp.pad(segs, ((0, B_in - S * n), (0, 0), (0, 0)))
         cond = jnp.pad(cond, ((0, B_in - S * n), (0, 0)))
+        if self.engine._seg_sharding is not None:
+            # cond derives from the committed-replicated encoder output;
+            # reshard it (and the segments) onto the 'data' axis explicitly —
+            # jit only auto-commits uncommitted arrays
+            segs = jax.device_put(segs, self.engine._seg_sharding)
+            cond = jax.device_put(cond, self.engine._seg_sharding)
         out = self.engine._convert_multi(self.engine.conv_vars, segs, cond)
 
         # ---- reassemble + sum + quantize on device; download once ----
