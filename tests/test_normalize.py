@@ -354,3 +354,21 @@ def test_comp_fallback_sweep_matches_fullwidth(normalizer):
     finally:
         env_mod.BLOCK_LANES = BL
     np.testing.assert_array_equal(out_chunked, out_full)
+
+
+def test_design_eq_fir_batch_matches_scipy():
+    """Device-resident FIR design == scipy.signal.firwin2 (f32 precision)."""
+    from music_mixing_style_transfer_tpu.normalize.matching import (
+        design_eq_fir,
+        design_eq_fir_batch,
+    )
+
+    rng = np.random.default_rng(0)
+    m = 4097  # smaller grid for test speed; same construction
+    a = np.abs(rng.standard_normal((3, m))) + 0.01
+    r = np.abs(rng.standard_normal((3, m))) + 0.01
+    ref = np.stack([design_eq_fir(a[i], r[i], ntaps=301) for i in range(3)])
+    got = np.asarray(
+        design_eq_fir_batch(jnp.asarray(a, jnp.float32), jnp.asarray(r, jnp.float32), ntaps=301)
+    )
+    assert np.max(np.abs(ref - got)) / np.max(np.abs(ref)) < 1e-4
