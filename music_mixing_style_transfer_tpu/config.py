@@ -143,6 +143,10 @@ class TrainConfig:
     # "bfloat16" runs model fwd/bwd on the MXU's fast passes while params,
     # optimizer state, and losses stay float32 (measured ~2x converter step)
     compute_dtype: str = "float32"
+    # rematerialize conv blocks on backward (jax.checkpoint): ~1 extra
+    # forward of FLOPs for O(1-block) activation HBM — enables longer
+    # segments / bigger per-chip batches than activations would otherwise fit
+    remat: bool = False
     # FX apply-probability schedule (probability scheduling from the paper)
     apply_prob: Dict[str, float] = field(
         default_factory=lambda: {"eq": 0.9, "comp": 0.9, "pan": 0.3, "imager": 0.8, "gain": 0.5}

@@ -24,16 +24,24 @@ class FXencoder(nn.Module):
     # run the stack on [B, T, C] activations (one transpose at input; the
     # global average pool absorbs the output transpose); identical params
     channels_last: bool = True
+    # rematerialize each block on the backward pass (jax.checkpoint): trades
+    # ~1 extra forward of FLOPs for O(1-block) activation memory — the HBM
+    # lever for long-segment / large-batch contrastive training. Parameters
+    # and numerics are unchanged (nn.remat is transparent to the pytree).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
+        res_cls, conv_cls = ResConvBlock, Conv1dLayer
+        if self.remat and self.train:
+            res_cls, conv_cls = nn.remat(ResConvBlock), nn.remat(Conv1dLayer)
         if self.channels_last:
             x = jnp.swapaxes(x, -1, -2)
         channels = (cfg.in_channels,) + tuple(cfg.channels)
         for i, (k, s, d) in enumerate(zip(cfg.kernels, cfg.strides, cfg.dilation)):
             if cfg.conv_block == "res":
-                x = ResConvBlock(
+                x = res_cls(
                     in_channels=channels[i],
                     out_channels=channels[i + 1],
                     kernel_size=k,
@@ -49,7 +57,7 @@ class FXencoder(nn.Module):
                     name=f"block{i}",
                 )(x)
             else:
-                x = Conv1dLayer(
+                x = conv_cls(
                     in_channels=channels[i],
                     out_channels=channels[i + 1],
                     kernel_size=k,

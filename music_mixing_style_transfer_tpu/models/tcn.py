@@ -135,6 +135,10 @@ class MixFXcloner(nn.Module):
     # fused Pallas block kernel for dilations >= 8 at inference ("auto"
     # enables it on TPU backends; "on" forces it, interpreted off-TPU)
     fused: str = "auto"
+    # rematerialize each block on the backward pass (jax.checkpoint): O(1
+    # block) activation memory for longer training triplets; params/numerics
+    # unchanged
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -143,6 +147,7 @@ class MixFXcloner(nn.Module):
         cond: Union[jnp.ndarray, Sequence[jnp.ndarray]],
     ) -> jnp.ndarray:
         cfg = self.config
+        block_cls = nn.remat(TCNBlock) if self.remat and self.train else TCNBlock
         per_block_cond = isinstance(cond, (list, tuple))
         h = jnp.swapaxes(x, -1, -2) if self.channels_last else x
         in_ch = cfg.ninputs
@@ -150,7 +155,7 @@ class MixFXcloner(nn.Module):
             out_ch = in_ch * cfg.channel_growth if cfg.channel_growth > 1 else cfg.channel_width
             dilation = cfg.dilation_growth ** (n % cfg.stack_size)
             c = cond[n] if per_block_cond else cond
-            h = TCNBlock(
+            h = block_cls(
                 in_ch=in_ch,
                 out_ch=out_ch,
                 kernel_size=cfg.kernel_size,

@@ -54,7 +54,8 @@ def bench_contrastive(args) -> dict:
     from ..train import init_contrastive, make_contrastive_train_step
 
     tcfg = TrainConfig(
-        batch_size_per_device=args.batch, compute_dtype=args.dtype
+        batch_size_per_device=args.batch, compute_dtype=args.dtype,
+        remat=args.remat,
     )
     B = args.batch * (1 + tcfg.num_strong_negatives)
     T = args.length
@@ -94,7 +95,8 @@ def bench_converter(args) -> dict:
     from ..train import init_contrastive, init_converter, make_converter_train_step
 
     tcfg = TrainConfig(
-        batch_size_per_device=args.batch, compute_dtype=args.dtype
+        batch_size_per_device=args.batch, compute_dtype=args.dtype,
+        remat=args.remat,
     )
     B = args.batch * 2
     T = args.length
@@ -145,6 +147,8 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--skip_contrastive", action="store_true")
     p.add_argument("--skip_converter", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialized blocks (memory-bound configs)")
     p.add_argument("--tiny", action="store_true",
                    help="shrunken model configs (CPU smoke testing only)")
     args = p.parse_args(argv)

@@ -34,6 +34,12 @@ def main(argv=None) -> int:
     p.add_argument("--temperature", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_mesh", action="store_true")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype (params/optimizer/losses stay f32)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize conv blocks on backward: O(1-block) "
+                        "activation HBM for longer segments / bigger batches")
     p.add_argument("--encoder_ckpt", type=str, default=None,
                    help="(converter) orbax dir or torch .pt of the frozen encoder")
     p.add_argument("--prob_schedule", type=str, default=None,
@@ -46,6 +52,8 @@ def main(argv=None) -> int:
         num_strong_negatives=args.num_strong_negatives,
         temperature=args.temperature,
         seed=args.seed,
+        compute_dtype=args.dtype,
+        remat=args.remat,
     )
 
     if args.model == "fxencoder":

@@ -150,7 +150,9 @@ def init_contrastive(
     # NCH for training: channels-last wins at inference but is a wash for
     # the training step (measured 65 vs 64 ms at production shapes) — keep
     # the layout both train steps are proven on
-    encoder = FXencoder(config=cfg, train=True, channels_last=False)
+    encoder = FXencoder(
+        config=cfg, train=True, channels_last=False, remat=tcfg.remat
+    )
     variables = encoder.init(
         jax.random.PRNGKey(seed), jnp.zeros((2, cfg.in_channels, example_length))
     )

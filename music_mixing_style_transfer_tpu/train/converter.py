@@ -142,7 +142,9 @@ def init_converter(
     # copies per block — RESOURCE_EXHAUSTED at production triplet shapes
     # (8 x 3 s, measured); the NCH backward fits at 668 ms/step. Inference
     # defaults to channels-last.
-    converter = MixFXcloner(config=cfg, train=True, channels_last=False)
+    converter = MixFXcloner(
+        config=cfg, train=True, channels_last=False, remat=tcfg.remat
+    )
     variables = converter.init(
         jax.random.PRNGKey(seed),
         jnp.zeros((2, cfg.ninputs, example_length)),

@@ -182,3 +182,38 @@ def test_sharded_mixed_precision_matches_single_device(rng):
     s_sh, l_sh = sh(state, a, b)
     s_si, l_si = single(state, a, b)
     assert abs(float(l_sh) - float(l_si)) < 2e-2
+
+
+def test_remat_training_step_matches(tiny_cfgs=None):
+    """remat=True must change memory use only — identical loss and params."""
+    import jax
+    import jax.numpy as jnp
+
+    from music_mixing_style_transfer_tpu.config import FXencoderConfig, TrainConfig
+    from music_mixing_style_transfer_tpu.train import (
+        init_contrastive,
+        make_contrastive_train_step,
+    )
+
+    cfg = FXencoderConfig(
+        channels=(8, 16), kernels=(25, 15), strides=(4, 4), dilation=(1, 1)
+    )
+    rng = np.random.default_rng(0)
+    T = 4096
+    a = jnp.asarray(rng.standard_normal((2, 4, 2, T)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal((2, 4, 2, T)).astype(np.float32) * 0.1)
+
+    results = []
+    for remat in (False, True):
+        tcfg = TrainConfig(remat=remat)
+        enc, state, tx = init_contrastive(config=cfg, train_cfg=tcfg, seed=3)
+        step = jax.jit(make_contrastive_train_step(enc, tx))
+        state, loss = step(state, a, b)
+        results.append((float(loss), state.params))
+
+    assert np.isfinite(results[0][0])
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
+    for (p0, p1) in zip(
+        jax.tree.leaves(results[0][1]), jax.tree.leaves(results[1][1])
+    ):
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=1e-6)
