@@ -1,8 +1,11 @@
 from .checkpoint import CheckpointManager
 from .contrastive import (
+    fsdp_specs,
     init_contrastive,
     make_contrastive_train_step,
+    make_fsdp_contrastive_step,
     make_sharded_contrastive_step,
+    shard_train_state,
 )
 from .converter import (
     init_converter,
@@ -18,6 +21,9 @@ __all__ = [
     "make_optimizer",
     "init_contrastive",
     "make_contrastive_train_step",
+    "make_fsdp_contrastive_step",
+    "fsdp_specs",
+    "shard_train_state",
     "make_sharded_contrastive_step",
     "init_converter",
     "make_converter_train_step",

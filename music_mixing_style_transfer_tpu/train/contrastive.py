@@ -18,6 +18,7 @@ from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -91,14 +92,13 @@ def make_contrastive_train_step(
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         if axis_name is not None:
-            # each shard's loss is already the *global* (gathered) objective, so
-            # the all_gather transpose has already psum-ed the cotangents from
-            # every shard into the local activations: shard k's grad is
-            # W * (shard k's partial of dL/dparams). pmean (= psum / W)
-            # therefore reconstructs the exact single-device gradient — psum
-            # here would double-count by a factor of W (verified grad-level in
-            # tests/test_train.py::test_contrastive_sharded_matches_single;
-            # Adam's scale invariance masked this in round 1)
+            # each shard's loss is already the *global* (gathered) objective;
+            # under vma-typed shard_map AD the collective transposes account
+            # for every shard's cotangent, so pmean reconstructs the exact
+            # single-device gradient while psum would overcount by W
+            # (measured: psum/true = W, pmean/true = 1; verified grad-level
+            # in tests/test_train.py::test_contrastive_sharded_matches_single
+            # — Adam's scale invariance masked this in round 1)
             grads = jax.lax.pmean(grads, axis_name)
             new_stats = jax.lax.pmean(new_stats, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -135,6 +135,120 @@ def make_sharded_contrastive_step(
         mesh=mesh,
         in_specs=(P(), P(None, axis), P(None, axis)),
         out_specs=(P(), P()),
+    )
+    return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# FSDP-style parameter/optimizer sharding (SURVEY.md §5.8 stretch)
+# ---------------------------------------------------------------------------
+def fsdp_specs(state: TrainState, n_shards: int, axis: str = "data", min_size: int = 1 << 14):
+    """Per-leaf PartitionSpecs: large param / optimizer-moment leaves shard
+    dim 0 over ``axis``; small leaves, counters, and ALL batch_stats
+    replicate (BN statistics are consumed ungathered inside the loss and
+    pmean-refreshed every step)."""
+
+    def spec_of(leaf):
+        shape = getattr(leaf, "shape", ())
+        if (
+            len(shape) >= 1
+            and shape[0] % n_shards == 0
+            and int(np.prod(shape)) >= min_size
+        ):
+            return P(axis)
+        return P()
+
+    return TrainState(
+        step=P(),
+        params=jax.tree.map(spec_of, state.params),
+        batch_stats=jax.tree.map(lambda _: P(), state.batch_stats),
+        opt_state=jax.tree.map(spec_of, state.opt_state),
+    )
+
+
+def shard_train_state(state: TrainState, mesh: Mesh, axis: str = "data", min_size: int = 1 << 14) -> TrainState:
+    """Lay the state out on the mesh per :func:`fsdp_specs` (1/W of the
+    params + Adam moments per chip for the sharded leaves)."""
+    from jax.sharding import NamedSharding
+
+    n = int(np.prod(mesh.devices.shape))
+    specs = fsdp_specs(state, n, axis, min_size)
+    return jax.tree.map(
+        lambda leaf, sp: jax.device_put(leaf, NamedSharding(mesh, sp)), state, specs
+    )
+
+
+def make_fsdp_contrastive_step(
+    encoder: FXencoder,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    state_example: TrainState,
+    temperature: float = 0.1,
+    axis: str = "data",
+    compute_dtype: str = "float32",
+    min_size: int = 1 << 14,
+):
+    """FSDP/ZeRO-style sharded train step: parameters AND optimizer moments
+    live sharded over ``axis`` (1/W memory per chip); each step all-gathers
+    the parameters at use, and the all_gather's transpose delivers each
+    chip exactly its local slice of the global gradient, so the optimizer
+    update itself runs on 1/W of the state. The 81M-param encoder
+    does not *need* this on one v5e — it is the scaling path for bigger
+    variants / tighter HBM (SURVEY.md §5.8 "FSDP-style sharding as a
+    stretch"). Numerics match the replicated step exactly (tested).
+
+    Feed it a state laid out by :func:`shard_train_state`; batches are
+    ``[n_inst, B_global, 2, T]`` like the replicated sharded step.
+    """
+    cdtype = jnp.dtype(compute_dtype)
+    n_shards = int(np.prod(mesh.devices.shape))
+    specs = fsdp_specs(state_example, n_shards, axis, min_size)
+
+    def gather(leaf, sp):
+        if sp == P(axis):
+            return jax.lax.all_gather(leaf, axis, axis=0, tiled=True)
+        return leaf
+
+    def step(state: TrainState, batch_a, batch_b):
+        def loss_fn(local_params):
+            full = jax.tree.map(gather, local_params, specs.params)
+            return contrastive_loss_fn(
+                encoder, full, state.batch_stats, batch_a, batch_b,
+                temperature, axis, cdtype,
+            )
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        # vma-typed shard_map AD already performs exact cotangent
+        # bookkeeping across the collectives: sharded leaves arrive as the
+        # TRUE gradient's local slice (the params-all_gather transpose), and
+        # replicated leaves arrive as the true replicated gradient — both
+        # measured at ratio 1.0000 vs the single-device gradient (and
+        # asserted grad-level in tests/test_train.py::
+        # test_fsdp_sharded_matches_single). pmean on replicated leaves is
+        # kept as an explicit replication annotation (a no-op on the value).
+        grads = jax.tree.map(
+            lambda g, sp: g if sp == P(axis) else jax.lax.pmean(g, axis),
+            grads,
+            specs.params,
+        )
+        new_stats = jax.lax.pmean(new_stats, axis)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, loss
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(specs, P(None, axis), P(None, axis)),
+        out_specs=(specs, P()),
     )
     return jax.jit(sharded)
 

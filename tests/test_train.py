@@ -217,3 +217,50 @@ def test_remat_training_step_matches(tiny_cfgs=None):
         jax.tree.leaves(results[0][1]), jax.tree.leaves(results[1][1])
     ):
         np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=1e-6)
+
+
+def test_fsdp_sharded_matches_single(rng):
+    """FSDP step (params + Adam moments sharded over the mesh, all-gathered
+    at use, reduce-scattered grads) == single-device step. Same grad-level
+    SGD comparison as test_contrastive_sharded_matches_single; min_size=1
+    so the tiny test model's conv kernels actually shard."""
+    import optax
+
+    from music_mixing_style_transfer_tpu.train import (
+        make_fsdp_contrastive_step,
+        shard_train_state,
+    )
+
+    cfg = FXencoderConfig(
+        channels=(8, 16), kernels=(25, 15), strides=(4, 4), dilation=(1, 1), norm="none"
+    )
+    enc, state0, _ = init_contrastive(cfg, example_length=T, seed=3)
+    lr = 0.05
+    tx = optax.sgd(lr)
+    state = create_train_state(state0.variables(), tx)
+    a = jnp.asarray(rng.standard_normal((1, 8, 2, T)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal((1, 8, 2, T)).astype(np.float32) * 0.2)
+
+    single = jax.jit(make_contrastive_train_step(enc, tx, 0.1))
+    s1, loss1 = single(state, a, b)
+
+    mesh = create_mesh(4)
+    fsdp_state = shard_train_state(state, mesh, min_size=1)
+    # at least one leaf must actually be sharded for this test to mean much
+    assert any(
+        len(getattr(l.sharding, "spec", ())) and l.sharding.spec[0] == "data"
+        for l in jax.tree.leaves(fsdp_state.params)
+    )
+    step = make_fsdp_contrastive_step(enc, tx, mesh, state, 0.1, min_size=1)
+    s2, loss2 = step(fsdp_state, a, b)
+
+    assert abs(float(loss1) - float(loss2)) < 1e-5 * max(1.0, abs(float(loss1)))
+    for p0, p1, p2 in zip(
+        jax.tree.leaves(state.params),
+        jax.tree.leaves(s1.params),
+        jax.tree.leaves(s2.params),
+    ):
+        g1 = (np.asarray(p0) - np.asarray(p1)) / lr
+        g2 = (np.asarray(p0) - np.asarray(p2)) / lr
+        scale = max(np.max(np.abs(g1)), 1e-8)
+        assert np.max(np.abs(g1 - g2)) / scale < 1e-4
