@@ -26,9 +26,6 @@ convolutional receptive field (SURVEY.md §5.7).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
