@@ -125,6 +125,11 @@ class InferenceConfig:
     # interpolation modes, falls back to the host path for halo or
     # non-16-bit sources)
     pcm_fast_path: bool = True
+    # with a mesh engine: convert each whole stem in ONE sequence-sharded
+    # forward (time axis over chips, ppermute conv halos) — boundary-free
+    # output, ~3% redundant compute (infer/seqpar.py). Ignored without a
+    # mesh and in interpolation mode (its conditioning varies along time).
+    sequence_parallel: bool = False
 
 
 @dataclass(frozen=True)

@@ -508,6 +508,17 @@ class MixingStyleTransfer:
             cond = (wd * embs[:, None, :] + (1.0 - wd) * embs_b[:, None, :]).reshape(
                 S * n, -1
             )
+        elif (
+            cfg.sequence_parallel
+            and self.engine.mesh is not None
+            and self.engine._n_shards > 1
+        ):
+            # one boundary-free sequence-sharded forward per stem batch
+            # (time over chips, ppermute conv halos — infer/seqpar.py)
+            from .seqpar import seq_parallel_convert_device
+
+            y = seq_parallel_convert_device(self.engine, y_in[:, :, :T], embs)
+            return self._finish_pcm(y, want_stems, insts, sync)
         else:
             n = Tb // L
             cond = jnp.repeat(embs, n, axis=0)
@@ -527,7 +538,12 @@ class MixingStyleTransfer:
 
         # ---- reassemble + sum + quantize on device; download once ----
         y = out[: S * n].reshape(S, n, 2, L).transpose(0, 2, 1, 3).reshape(S, 2, n * L)
-        y = y[:, :, :T]
+        return self._finish_pcm(y[:, :, :T], want_stems, insts, sync)
+
+    def _finish_pcm(self, y: jnp.ndarray, want_stems: bool, insts, sync: bool):
+        """Sum converted stems ``[S, 2, T]`` to the mixture, quantize to
+        int16 on device, download once (or leave on device for the
+        multi-song pipeline when ``sync=False``)."""
         mix = jnp.sum(y, axis=0)
 
         def to_pcm16(a):

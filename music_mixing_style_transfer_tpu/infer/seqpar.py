@@ -121,6 +121,33 @@ def make_seq_parallel_converter(cfg: TCNConfig, mesh, dtype=jnp.float32):
     return jax.jit(fn)
 
 
+def seq_parallel_convert_device(
+    engine, y_in: jnp.ndarray, embs: jnp.ndarray
+) -> jnp.ndarray:
+    """Device-resident batch variant: ``y_in [S, 2, T]`` float32 (already on
+    device), per-row conditioning ``embs [S, D]`` -> ``[S, 2, T]``. Used by
+    the PCM fast path under ``InferenceConfig.sequence_parallel``."""
+    if engine.mesh is None:
+        raise ValueError("sequence-parallel conversion needs a mesh engine")
+    cfg = engine.converter_cfg
+    n_sh = engine._n_shards
+    T = y_in.shape[-1]
+    T_loc = max(-(-T // n_sh), max_halo(cfg))
+    Tb = T_loc * n_sh
+    x = jnp.pad(y_in, ((0, 0), (0, 0), (0, Tb - T)))
+    x = jnp.swapaxes(x, -1, -2)  # [S, Tb, 2]
+    if getattr(engine, "_seqpar_fn", None) is None:
+        engine._seqpar_fn = make_seq_parallel_converter(
+            cfg, engine.mesh, dtype=engine.dtype
+        )
+    x = jax.device_put(x, NamedSharding(engine.mesh, P(None, "data", None)))
+    embs = jax.device_put(
+        embs.astype(jnp.float32), NamedSharding(engine.mesh, P())
+    )
+    out = engine._seqpar_fn(engine.conv_vars, x, embs)
+    return jnp.swapaxes(out, -1, -2)[:, :, :T]
+
+
 def convert_seq_parallel(
     engine, audio: np.ndarray, embedding: np.ndarray
 ) -> np.ndarray:
@@ -130,23 +157,9 @@ def convert_seq_parallel(
     the reference's semantics), the output here is exactly the single-pass
     full-receptive-field conversion — no segment boundaries at all.
     """
-    if engine.mesh is None:
-        raise ValueError("convert_seq_parallel needs an engine built with a mesh")
-    cfg = engine.converter_cfg
-    n_sh = engine._n_shards
-    T = audio.shape[-1]
-    # every chip needs at least the largest halo of real context
-    T_loc = max(-(-T // n_sh), max_halo(cfg))
-    Tb = T_loc * n_sh
-    x = np.pad(audio.astype(np.float32), ((0, 0), (0, Tb - T)))[None]  # [1, 2, Tb]
-    x = np.swapaxes(x, -1, -2)  # [1, Tb, 2] channels_last
-
-    if getattr(engine, "_seqpar_fn", None) is None:
-        engine._seqpar_fn = make_seq_parallel_converter(
-            cfg, engine.mesh, dtype=engine.dtype
-        )
-    seq_sh = NamedSharding(engine.mesh, P(None, "data", None))
-    xd = jax.device_put(jnp.asarray(x), seq_sh)
-    cond = jnp.asarray(embedding.astype(np.float32))[None]
-    out = engine._seqpar_fn(engine.conv_vars, xd, cond)
-    return np.asarray(out)[0, :T, :].T
+    out = seq_parallel_convert_device(
+        engine,
+        jnp.asarray(audio.astype(np.float32))[None],
+        jnp.asarray(embedding.astype(np.float32))[None],
+    )
+    return np.asarray(out)[0]

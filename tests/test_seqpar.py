@@ -78,3 +78,43 @@ def test_engine_convert_seq_parallel(mesh):
         model.apply(eng.conv_vars, jnp.asarray(xb), jnp.asarray(emb)[None])
     )[0, :, :T]
     assert np.max(np.abs(out - ref)) < 1e-5
+
+
+def test_pcm_path_sequence_parallel_matches_segments(mesh):
+    """With a one-segment song (no boundaries to remove), the PCM fast path
+    under sequence_parallel=True must match the segment-batched conversion
+    to int16 quantization."""
+    import dataclasses
+
+    from music_mixing_style_transfer_tpu.config import InferenceConfig
+    from music_mixing_style_transfer_tpu.infer.pipeline import (
+        MixingStyleTransfer,
+        StyleTransferEngine,
+    )
+
+    enc_cfg = FXencoderConfig(
+        channels=(8, 16), kernels=(25, 15), strides=(4, 4), dilation=(1, 1)
+    )
+    cfg = TCNConfig(
+        condition_dimension=enc_cfg.embed_dim, nblocks=4, channel_width=8, kernel_size=7
+    )
+    eng = StyleTransferEngine(encoder_cfg=enc_cfg, converter_cfg=cfg, mesh=mesh)
+    T = 8 * 512  # == segment_length and == n_shards * T_loc
+    assert T // 8 >= max_halo(cfg)
+    icfg = InferenceConfig(
+        segment_length=T, segment_length_ref=T, normalize_input=False
+    )
+    rng = np.random.default_rng(5)
+    pcm = lambda: (rng.standard_normal((4, 2, T)) * 8000).astype(np.int16)
+    inp, ref = pcm(), pcm()
+
+    seg_pipe = MixingStyleTransfer(eng, icfg)
+    mix_seg, _ = seg_pipe.transfer_song_pcm(inp, ref)
+    sp_pipe = MixingStyleTransfer(
+        eng, dataclasses.replace(icfg, sequence_parallel=True)
+    )
+    mix_sp, _ = sp_pipe.transfer_song_pcm(inp, ref)
+    assert mix_sp.shape == mix_seg.shape == (2, T)
+    # identical forward modulo conv-split reduction order -> <=1 LSB int16
+    diff = np.abs(mix_sp.astype(np.int32) - mix_seg.astype(np.int32))
+    assert diff.max() <= 1, f"max int16 delta {diff.max()}"
