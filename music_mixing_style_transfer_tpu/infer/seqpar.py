@@ -65,7 +65,7 @@ def make_seq_parallel_converter(cfg: TCNConfig, mesh, dtype=jnp.float32):
     if cfg.causal:
         raise NotImplementedError("sequence-parallel path assumes non-causal TCN")
     n_sh = int(np.prod(mesh.devices.shape))
-    plan, last_ch = _block_plan(cfg)
+    plan, _ = _block_plan(cfg)
     fwd = [(i, i + 1) for i in range(n_sh - 1)]
     bwd = [(i + 1, i) for i in range(n_sh - 1)]
 

@@ -75,7 +75,6 @@ def profile_normalize(args, normalizer, stems_pcm) -> dict:
 
 
 def profile_transfer(args, pipe, normalizer) -> dict:
-    import jax
     import jax.numpy as jnp
 
     cfg = pipe.cfg
