@@ -151,12 +151,28 @@ def main(argv=None) -> int:
     p.add_argument("--normalize_input", action="store_true")
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--segment_halo", type=int, default=0)
+    p.add_argument(
+        "--data_parallel", type=int, default=1,
+        help="shard the segment batch over an N-chip 'data' mesh "
+        "(parameters replicated); 1 = single chip",
+    )
+    p.add_argument(
+        "--sequence_parallel", action="store_true",
+        help="with --data_parallel > 1: convert each whole stem in one "
+        "time-sharded forward (ppermute conv halos) — boundary-free output",
+    )
     args = p.parse_args(argv)
 
+    mesh = None
+    if args.data_parallel > 1:
+        from .parallel import create_mesh
+
+        mesh = create_mesh(args.data_parallel)
     engine = StyleTransferEngine(
         ckpt_path_enc=args.ckpt_path_enc,
         ckpt_path_conv=args.ckpt_path_conv,
         dtype=args.dtype,
+        mesh=mesh,
     )
     normalizer = None
     if args.normalize_input and args.precomputed_normalization_feature:
@@ -168,6 +184,7 @@ def main(argv=None) -> int:
         normalize_input=normalizer is not None,
         dtype=args.dtype,
         segment_halo=args.segment_halo,
+        sequence_parallel=args.sequence_parallel,
     )
     service = StyleTransferService(engine, cfg, normalizer)
     serve(service, args.port, args.host).serve_forever()

@@ -69,3 +69,39 @@ def test_embed_endpoint(server, tmp_path, rng):
     emb = np.asarray(out["embedding"])
     assert emb.shape == (SMALL_ENC.channels[-1],)
     assert np.isfinite(emb).all()
+
+
+def test_mesh_serving_sequence_parallel(tmp_path, rng):
+    """Multi-chip serving path (serve.py --data_parallel N
+    --sequence_parallel): mesh engine + time-sharded conversion behind the
+    same HTTP API, on the virtual CPU mesh."""
+    from music_mixing_style_transfer_tpu.parallel import create_mesh
+
+    engine = StyleTransferEngine(
+        encoder_cfg=SMALL_ENC, converter_cfg=SMALL_TCN, mesh=create_mesh(4)
+    )
+    cfg = InferenceConfig(
+        segment_length=8192, segment_length_ref=8192,
+        normalize_input=False, do_not_separate=True, sequence_parallel=True,
+    )
+    httpd = serve(StyleTransferService(engine, cfg), port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        target = tmp_path / "songs"
+        for name in ["input", "reference"]:
+            for inst in ("drums", "bass", "other", "vocals"):
+                x = (rng.standard_normal((12_000, 2)) * 0.2).astype(np.float32)
+                write_wav(str(target / "s1" / "separated" / name / f"{inst}.wav"), x, SR)
+        out = _post(
+            url + "/transfer",
+            {"target_dir": str(target) + "/", "output_dir": str(tmp_path / "out") + "/"},
+        )
+        assert len(out["written"]) == 1
+        from music_mixing_style_transfer_tpu.data import read_wav
+
+        mix, _ = read_wav(out["written"][0])
+        assert mix.shape[0] == 12_000 and np.isfinite(mix).all()
+    finally:
+        httpd.shutdown()
