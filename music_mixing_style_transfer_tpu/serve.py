@@ -163,6 +163,16 @@ def main(argv=None) -> int:
     )
     args = p.parse_args(argv)
 
+    # sequence parallelism only exists on a multi-chip mesh through the PCM
+    # fast path — fail loudly instead of silently serving segmented output
+    if args.sequence_parallel and args.data_parallel <= 1:
+        p.error("--sequence_parallel requires --data_parallel > 1")
+    if args.sequence_parallel and args.segment_halo > 0:
+        p.error(
+            "--sequence_parallel is boundary-free already and only runs on "
+            "the PCM fast path, which --segment_halo > 0 disables"
+        )
+
     mesh = None
     if args.data_parallel > 1:
         from .parallel import create_mesh
