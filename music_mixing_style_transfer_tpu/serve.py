@@ -14,6 +14,10 @@ Endpoints (JSON over POST unless noted):
                            runs the directory pipeline, returns written paths
 - ``POST /embed``       -> body {"wav": path, "segment_length": int?}
                            returns the 2048-D FX embedding
+- ``POST /warmup``      -> body {"seconds": float?} compiles + executes the
+                           request path on a synthetic song of that length;
+                           returns {"cold_s": ..., "warm_s": ...}
+                           (also runs at startup with --warmup_seconds N)
 
 Run:  python -m music_mixing_style_transfer_tpu.serve --port 8700 \
           [--ckpt_path_enc ... --ckpt_path_conv ... --dtype bfloat16]
@@ -60,6 +64,43 @@ class StyleTransferService:
             cfg = dataclasses.replace(self.cfg, interpolation=interpolation)
             pipeline = MixingStyleTransfer(self.engine, cfg, normalizer=self.normalizer)
             return pipeline.run_directory(target_dir, output_dir)
+
+    def warmup(self, seconds: float = 30.0):
+        """Compile + execute the production request shapes before traffic.
+
+        A cold process pays one-time costs on its first real request
+        (executable compiles / compile-cache loads; ~90 s to first byte on
+        the TPU tunnel, BENCH_r02 song0 tail) — a deploy should eat that at
+        startup, not on a user. Runs a synthetic song of ``seconds`` through
+        the exact request path (PCM stem stacks -> transfer_song_pcm, plus
+        embed) twice and returns cold/warm wall times. Song lengths bucket
+        to whole segments (pipeline ``Tb``), so one warmup covers every song
+        that rounds to the same segment count; a second ``seconds`` value
+        can be warmed via ``POST /warmup``.
+        """
+        import time
+
+        with self._lock:
+            cfg = self.cfg
+            pipeline = MixingStyleTransfer(self.engine, cfg, normalizer=self.normalizer)
+            rng = np.random.default_rng(0)
+            S = len(cfg.instruments)
+            T = int(seconds * cfg.sample_rate)
+            pcm = lambda: (rng.standard_normal((S, 2, T)) * 4000).astype(np.int16)
+            out = {"seconds": seconds}
+            for key in ("cold_s", "warm_s"):
+                t0 = time.perf_counter()
+                mix, _ = pipeline.transfer_song_pcm(pcm(), pcm())
+                self.engine.embed_song(
+                    pcm()[0].astype(np.float32) / 32768.0, cfg.segment_length_ref
+                )
+                assert np.isfinite(mix.astype(np.float32)).all()
+                out[key] = round(time.perf_counter() - t0, 3)
+            log.info(
+                "warmup(%.1fs song): cold %.2fs, warm %.2fs",
+                seconds, out["cold_s"], out["warm_s"],
+            )
+            return out
 
     def embed(self, wav_path: str, segment_length: Optional[int] = None):
         with self._lock:
@@ -122,6 +163,8 @@ def make_handler(service: StyleTransferService):
                 elif self.path == "/embed":
                     emb = service.embed(req["wav"], req.get("segment_length"))
                     self._send(200, {"embedding": emb})
+                elif self.path == "/warmup":
+                    self._send(200, service.warmup(float(req.get("seconds", 30.0))))
                 else:
                     self._send(404, {"error": "unknown endpoint"})
             except Exception as e:  # pragma: no cover - error path
@@ -161,6 +204,12 @@ def main(argv=None) -> int:
         help="with --data_parallel > 1: convert each whole stem in one "
         "time-sharded forward (ppermute conv halos) — boundary-free output",
     )
+    p.add_argument(
+        "--warmup_seconds", type=float, default=0.0,
+        help="compile + execute the request path on a synthetic song of "
+        "this length before accepting traffic (0 = off); also available "
+        "at runtime via POST /warmup {\"seconds\": N}",
+    )
     args = p.parse_args(argv)
 
     # sequence parallelism only exists on a multi-chip mesh through the PCM
@@ -197,6 +246,9 @@ def main(argv=None) -> int:
         sequence_parallel=args.sequence_parallel,
     )
     service = StyleTransferService(engine, cfg, normalizer)
+    if args.warmup_seconds > 0:
+        log.info("warming up (%.1fs synthetic song) before accepting traffic", args.warmup_seconds)
+        service.warmup(args.warmup_seconds)
     serve(service, args.port, args.host).serve_forever()
     return 0
 

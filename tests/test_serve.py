@@ -105,3 +105,14 @@ def test_mesh_serving_sequence_parallel(tmp_path, rng):
         assert mix.shape[0] == 12_000 and np.isfinite(mix).all()
     finally:
         httpd.shutdown()
+
+
+def test_warmup_endpoint(server):
+    """POST /warmup compiles + executes the request path on a synthetic song
+    and returns cold/warm timings (serve.py --warmup_seconds analogue); the
+    warm pass must reuse the cold pass's executables."""
+    out = _post(server + "/warmup", {"seconds": 0.5})
+    assert out["seconds"] == 0.5
+    assert out["cold_s"] > 0 and out["warm_s"] > 0
+    # the cold pass pays the compiles; warm must not recompile
+    assert out["warm_s"] <= out["cold_s"]
