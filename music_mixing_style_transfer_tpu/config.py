@@ -119,11 +119,11 @@ class InferenceConfig:
     # context halo per segment (samples) to suppress boundary artifacts;
     # 0 = reference behaviour (independent zero-context segments)
     segment_halo: int = 0
-    # device-resident whole-song path: upload stems once as int16 PCM,
-    # normalize/segment/encode/convert/sum on device, download one int16
-    # mixture (5x less host<->device traffic; covers the plain and
-    # interpolation modes, falls back to the host path for halo or
-    # non-16-bit sources)
+    # device-resident whole-song path: upload stems once (int16 PCM, or
+    # float32 for 24/32-bit/float sources), normalize/segment/encode/convert/
+    # sum on device, download one int16 mixture (5x less host<->device
+    # traffic; covers the plain and interpolation modes, falls back to the
+    # per-stage host path only for segment_halo > 0)
     pcm_fast_path: bool = True
     # with a mesh engine: convert each whole stem in ONE sequence-sharded
     # forward (time axis over chips, ppermute conv halos) — boundary-free
@@ -145,6 +145,17 @@ class TrainConfig:
     weight_decay: float = 0.0
     eps: float = 1e-7
     seed: int = 0
+    # LR schedule: "constant" | "warmup_cosine" | "step" (reference-style
+    # epoch decay). The schedule is a pure function of the optax step counter
+    # (inside opt_state), so orbax resume reproduces the unbroken-run LR
+    # sequence exactly — the analogue of the reference checkpointing its
+    # torch scheduler state (modules/training_utils.py:13-29).
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    lr_decay_steps: int = 10_000  # cosine horizon (total steps)
+    lr_end_factor: float = 0.0  # final LR as a fraction of peak (cosine)
+    lr_step_size: int = 1_000  # steps between decays ("step")
+    lr_gamma: float = 0.5  # decay factor ("step")
     # "bfloat16" runs model fwd/bwd on the MXU's fast passes while params,
     # optimizer state, and losses stay float32 (measured ~2x converter step)
     compute_dtype: str = "float32"

@@ -406,8 +406,9 @@ class MixingStyleTransfer:
 
     # ------------------------------------------------------------------
     def _embed_group_pcm(self, ref_dev: jnp.ndarray, Tr: int) -> jnp.ndarray:
-        """Per-stem mean embeddings ``[S, D]`` from a device-resident int16
-        stem stack ``[S, 2, Tr]`` (PCM segments straight to the encoder)."""
+        """Per-stem mean embeddings ``[S, D]`` from a device-resident stem
+        stack ``[S, 2, Tr]`` (int16 PCM — dequantized on device — or
+        float32), segments straight to the encoder."""
         cfg = self.cfg
         S = ref_dev.shape[0]
         Lr = cfg.segment_length_ref
@@ -455,13 +456,21 @@ class MixingStyleTransfer:
         ``w*embA + (1-w)*embB`` with ``w = (N-1-i)/(N-1)`` — all stems'
         chunks in one converter dispatch (the host path loops per stem).
 
+        ``float32`` stem stacks (unit-scale waveforms) are accepted too —
+        sources that aren't 16-bit PCM (24/32-bit, float WAVs) take the SAME
+        device-resident stages after one float32 upload (2x the int16 upload
+        bytes, everything else identical) instead of falling back to the
+        per-stage host path.
+
         Returns ``(mixture_pcm [2, T] int16, stems dict | None)``.
         """
         cfg = self.cfg
         insts = list(cfg.instruments)
         S = len(insts)
         L = cfg.segment_length
-        assert input_pcm.dtype == np.int16 and reference_pcm.dtype == np.int16
+        for name, a in (("input", input_pcm), ("reference", reference_pcm)):
+            if a.dtype not in (np.int16, np.float32):
+                raise ValueError(f"{name} stems must be int16 or float32, got {a.dtype}")
         T = input_pcm.shape[-1]
 
         # ---- upload once ----
@@ -471,11 +480,16 @@ class MixingStyleTransfer:
             jnp.asarray(reference_pcm_b) if reference_pcm_b is not None else None
         )
 
+        def _f32(dev):
+            if dev.dtype == jnp.int16:
+                return dev.astype(jnp.float32) * (1.0 / 32768.0)
+            return dev
+
         # ---- normalization (device-resident) ----
         Tb = -(-max(T, 1) // L) * L  # song-length bucket = whole segments
         if self.normalizer is not None and cfg.normalize_input:
             fft = self.normalizer.cfg.fft_size
-            x = in_dev.astype(jnp.float32) * (1.0 / 32768.0)
+            x = _f32(in_dev)
             x = jnp.pad(x, ((0, 0), (0, 0), (fft, fft + Tb - T)))
             x = self.normalizer.batched().normalize_device(x, insts, [T] * S)
             y_in = jnp.clip(x[:, :, fft : fft + Tb], -1.0, 1.0)
@@ -483,8 +497,7 @@ class MixingStyleTransfer:
             # may smear ~ntaps/2 samples of FIR tail past the true length
             y_in = y_in * (jnp.arange(Tb) < T)[None, None, :]
         else:
-            y_in = in_dev.astype(jnp.float32) * (1.0 / 32768.0)
-            y_in = jnp.pad(y_in, ((0, 0), (0, 0), (0, Tb - T)))
+            y_in = jnp.pad(_f32(in_dev), ((0, 0), (0, 0), (0, Tb - T)))
 
         # ---- reference embeddings (PCM segments straight to the encoder) ----
         embs = self._embed_group_pcm(ref_dev, reference_pcm.shape[-1])  # [S, D]
@@ -654,13 +667,27 @@ class MixingStyleTransfer:
         cfg = self.cfg
 
         def load_pcm(name):
-            stems = [
-                read_wav_stereo_ct_i16(
-                    os.path.join(song_dir, sep_dir, name, inst + ".wav"),
-                    expected_rate=cfg.sample_rate,
-                )
-                for inst in cfg.instruments
-            ]
+            stems = []
+            for inst in cfg.instruments:
+                path = os.path.join(song_dir, sep_dir, name, inst + ".wav")
+                try:
+                    stems.append(
+                        read_wav_stereo_ct_i16(path, expected_rate=cfg.sample_rate)
+                    )
+                except ValueError:
+                    # non-16-bit source: float32 upload, same device stages
+                    stems.append(
+                        read_wav_stereo_ct(path, expected_rate=cfg.sample_rate)
+                        .clip(-1.0, 1.0)
+                        .astype(np.float32)
+                    )
+            if any(s.dtype != np.int16 for s in stems):
+                stems = [
+                    s.astype(np.float32) * (1.0 / 32768.0)
+                    if s.dtype == np.int16
+                    else s
+                    for s in stems
+                ]
             T = max(s.shape[-1] for s in stems)
             return np.stack(
                 [np.pad(s, ((0, 0), (0, T - s.shape[-1]))) for s in stems]

@@ -30,6 +30,19 @@ def main(argv=None) -> int:
     p.add_argument("--batch_items", type=int, default=4)
     p.add_argument("--segment_length", type=int, default=2**17)
     p.add_argument("--learning_rate", type=float, default=2e-4)
+    p.add_argument("--lr_schedule", type=str, default="constant",
+                   choices=["constant", "warmup_cosine", "step"],
+                   help="LR schedule; state rides the optimizer step counter "
+                        "so checkpoint resume continues mid-schedule")
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
+    p.add_argument("--lr_decay_steps", type=int, default=10_000,
+                   help="(warmup_cosine) total decay horizon in steps")
+    p.add_argument("--lr_end_factor", type=float, default=0.0,
+                   help="(warmup_cosine) final LR as a fraction of peak")
+    p.add_argument("--lr_step_size", type=int, default=1_000,
+                   help="(step) steps between decays")
+    p.add_argument("--lr_gamma", type=float, default=0.5,
+                   help="(step) decay factor")
     p.add_argument("--num_strong_negatives", type=int, default=1)
     p.add_argument("--temperature", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
@@ -49,6 +62,12 @@ def main(argv=None) -> int:
     tcfg = TrainConfig(
         segment_length=args.segment_length,
         learning_rate=args.learning_rate,
+        lr_schedule=args.lr_schedule,
+        lr_warmup_steps=args.lr_warmup_steps,
+        lr_decay_steps=args.lr_decay_steps,
+        lr_end_factor=args.lr_end_factor,
+        lr_step_size=args.lr_step_size,
+        lr_gamma=args.lr_gamma,
         num_strong_negatives=args.num_strong_negatives,
         temperature=args.temperature,
         seed=args.seed,

@@ -25,7 +25,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import FXencoderConfig, TrainConfig
 from ..losses import nt_xent_loss
 from ..models import FXencoder
-from .state import TrainState, cast_floats, create_train_state, make_optimizer
+from .state import (
+    TrainState,
+    cast_floats,
+    create_train_state,
+    make_lr_schedule,
+    make_optimizer,
+)
 
 
 def contrastive_loss_fn(
@@ -270,5 +276,7 @@ def init_contrastive(
     variables = encoder.init(
         jax.random.PRNGKey(seed), jnp.zeros((2, cfg.in_channels, example_length))
     )
-    tx = make_optimizer(tcfg.learning_rate, tcfg.weight_decay)
+    tx = make_optimizer(
+        tcfg.learning_rate, tcfg.weight_decay, schedule=make_lr_schedule(tcfg)
+    )
     return encoder, create_train_state(variables, tx), tx

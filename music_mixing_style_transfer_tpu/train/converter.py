@@ -20,7 +20,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..config import TCNConfig, TrainConfig
 from ..losses import multiscale_spectral_midside, rms_loss
 from ..models import FXencoder, MixFXcloner
-from .state import TrainState, cast_floats, create_train_state, make_optimizer
+from .state import (
+    TrainState,
+    cast_floats,
+    create_train_state,
+    make_lr_schedule,
+    make_optimizer,
+)
 
 
 def converter_loss_fn(
@@ -150,5 +156,7 @@ def init_converter(
         jnp.zeros((2, cfg.ninputs, example_length)),
         jnp.zeros((2, cfg.condition_dimension)),
     )
-    tx = make_optimizer(tcfg.learning_rate, tcfg.weight_decay)
+    tx = make_optimizer(
+        tcfg.learning_rate, tcfg.weight_decay, schedule=make_lr_schedule(tcfg)
+    )
     return converter, create_train_state(variables, tx), tx

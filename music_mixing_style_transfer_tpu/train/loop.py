@@ -31,6 +31,7 @@ from ..utils.logging import Timer, get_logger
 from .checkpoint import CheckpointManager
 from .contrastive import init_contrastive, make_contrastive_train_step, make_sharded_contrastive_step
 from .converter import init_converter, make_converter_train_step, make_sharded_converter_step
+from .state import current_lr
 
 log = get_logger("train")
 
@@ -134,6 +135,7 @@ def train_fxencoder(
                 "model": "fxencoder",
                 "epoch": epoch,
                 "loss": float(np.mean([float(l) for l in losses])),
+                "lr": current_lr(tcfg, int(state.step)),
                 "probs": {k: round(v, 4) for k, v in probs.items()},
                 "wall": {k: round(v, 2) for k, v in timer.totals.items()},
                 "time": time.time(),
@@ -214,6 +216,7 @@ def train_converter(
                 "model": "converter",
                 "epoch": epoch,
                 "loss": float(np.mean([float(l) for l in losses])),
+                "lr": current_lr(tcfg, int(state.step)),
                 "wall": {k: round(v, 2) for k, v in timer.totals.items()},
                 "time": time.time(),
             },

@@ -361,6 +361,69 @@ def test_transfer_song_pcm_matches_host_paths(engine, rng):
     assert nrmse(mix_pcm_i.astype(np.float32), mix_pcm.astype(np.float32)) > 1e-4
 
 
+def test_transfer_song_pcm_accepts_float32(engine, rng):
+    """float32 stem stacks (24/32-bit or float WAV sources) take the same
+    device-resident stages: output must equal the int16 run bit-exactly
+    (int16/32768 IS the float32 the fallback would produce)."""
+    cfg = InferenceConfig(segment_length=8192, segment_length_ref=8192)
+    pipe = MixingStyleTransfer(engine, cfg, normalizer=None)
+    T = 2 * 8192 + 777
+
+    def mk_pcm():
+        return (rng.standard_normal((4, 2, T)) * 8000.0).astype(np.int16)
+
+    in_pcm, ref_pcm = mk_pcm(), mk_pcm()
+    to_f32 = lambda p: p.astype(np.float32) / 32768.0
+    mix_i16, _ = pipe.transfer_song_pcm(in_pcm, ref_pcm)
+    mix_f32, _ = pipe.transfer_song_pcm(to_f32(in_pcm), to_f32(ref_pcm))
+    np.testing.assert_array_equal(mix_i16, mix_f32)
+
+    # mixed dtypes (int16 input, float32 reference) work too
+    mix_mixed, _ = pipe.transfer_song_pcm(in_pcm, to_f32(ref_pcm))
+    np.testing.assert_array_equal(mix_i16, mix_mixed)
+
+    with pytest.raises(ValueError, match="int16 or float32"):
+        pipe.transfer_song_pcm(in_pcm.astype(np.int32), ref_pcm)
+
+
+def test_run_directory_float_sources_stay_on_fast_path(engine, tmp_path, rng, caplog):
+    """32-bit WAV stems route through the device-resident path (float32
+    upload) instead of the per-stage host fallback."""
+    import wave as wave_mod
+
+    cfg = InferenceConfig(
+        segment_length=8192,
+        segment_length_ref=8192,
+        normalize_input=False,
+        do_not_separate=True,
+    )
+    target = tmp_path / "songs"
+    T = 11_000
+    for name in ["input", "reference"]:
+        for inst in cfg.instruments:
+            x = (rng.standard_normal((T, 2)) * 0.2).astype(np.float32)
+            path = target / "songA" / "separated" / name / f"{inst}.wav"
+            os.makedirs(path.parent, exist_ok=True)
+            pcm32 = np.clip(np.round(x * 2.0**31), -(2.0**31), 2.0**31 - 1).astype("<i4")
+            with wave_mod.open(str(path), "w") as w:
+                w.setnchannels(2)
+                w.setsampwidth(4)
+                w.setframerate(SR)
+                w.writeframes(pcm32.tobytes())
+
+    pipeline = MixingStyleTransfer(engine, cfg)
+    import logging
+
+    with caplog.at_level(logging.INFO):
+        written = pipeline.run_directory(str(target) + "/")
+    assert len(written) == 1
+    mix, rate = read_wav(written[0])
+    assert rate == SR and mix.shape[0] == T and np.isfinite(mix).all()
+    # the device-resident dispatch ran (no "pcm fast path unavailable" fallback)
+    msgs = " ".join(r.message for r in caplog.records)
+    assert "pcm fast path unavailable" not in msgs
+
+
 def test_run_directory_multi_song_pipelined(engine, tmp_path, rng):
     """Multiple songs drain correctly through the 2-song software pipeline
     (song i+1's host I/O overlaps song i's in-flight device work)."""
