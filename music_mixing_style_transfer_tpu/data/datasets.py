@@ -220,14 +220,23 @@ class ContrastivePairDataset:
         batch_a: Dict[str, np.ndarray],
         batch_b: Dict[str, np.ndarray],
         rng: np.random.Generator,
-        quantum: int = 4096,
+        quantum: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Random-duration crop shared across the batch (reference collate
         :46-75), bucketed for shape stability.
 
+        The A and B durations are drawn independently like the reference's
+        (``data_loader.py:51``), then bucketed to ``quantum`` (default
+        ``max(4096, L//8)``) so the jitted train step sees at most ~25
+        distinct ``(La, Lb)`` shape pairs per segment length — each new pair
+        is one XLA compile, so the bucket count is a compile-time budget,
+        not a fidelity knob (start offsets stay fully random).
+
         Returns stacked arrays ``[n_inst, B, 2, La] / [..., Lb]``.
         """
         L = self.segment_length
+        if quantum is None:
+            quantum = max(4096, L // 8)
         la = _bucket_length(int(rng.integers(L // 2, L)), quantum)
         lb = _bucket_length(int(rng.integers(L // 2, L)), quantum)
         n_items = next(iter(batch_a.values())).shape[0]

@@ -46,31 +46,38 @@ def contrastive_loss_fn(
 ) -> Tuple[jnp.ndarray, Any]:
     """NT-Xent loss over stacked per-instrument views.
 
-    ``batch_a/b``: ``[n_inst, B_local, 2, T]`` — the same instruments'
-    A and B views; losses are summed over instruments (reference trains all
-    four stems jointly). With ``compute_dtype=bfloat16`` the encoder
-    forward/backward runs in bf16; the NT-Xent similarities are always
-    computed on f32-cast embeddings.
+    ``batch_a/b``: ``[n_inst, B_local, 2, Ta] / [..., Tb]`` — the same
+    instruments' A and B views; losses are summed over instruments
+    (reference trains all four stems jointly). The two views may have
+    DIFFERENT durations (the reference collate draws ``input_length_a`` and
+    ``input_length_b`` independently, ``data_loader.py:51``), so each view
+    gets its own encoder forward — BN statistics update sequentially across
+    the two forwards, as two eager torch calls would. With
+    ``compute_dtype=bfloat16`` the encoder forward/backward runs in bf16;
+    the NT-Xent similarities are always computed on f32-cast embeddings.
     """
     n_inst, B = batch_a.shape[0], batch_a.shape[1]
     xa = batch_a.reshape((n_inst * B,) + batch_a.shape[2:])
     xb = batch_b.reshape((n_inst * B,) + batch_b.shape[2:])
-    x = jnp.concatenate([xa, xb], axis=0)
 
     mixed = compute_dtype != jnp.float32
     if mixed:
         # batch_stats stay f32 (BN computes statistics in f32 internally)
         params = cast_floats(params, compute_dtype)
-        x = x.astype(compute_dtype)
-    out, updates = encoder.apply(
+        xa = xa.astype(compute_dtype)
+        xb = xb.astype(compute_dtype)
+    za, updates = encoder.apply(
         {"params": params, "batch_stats": batch_stats},
-        x,
+        xa,
         mutable=["batch_stats"],
     )
-    out = out.astype(jnp.float32)
-    za, zb = jnp.split(out, 2, axis=0)
-    za = za.reshape(n_inst, B, -1)
-    zb = zb.reshape(n_inst, B, -1)
+    zb, updates = encoder.apply(
+        {"params": params, "batch_stats": updates["batch_stats"]},
+        xb,
+        mutable=["batch_stats"],
+    )
+    za = za.astype(jnp.float32).reshape(n_inst, B, -1)
+    zb = zb.astype(jnp.float32).reshape(n_inst, B, -1)
 
     loss = 0.0
     for i in range(n_inst):

@@ -25,9 +25,19 @@ def compile_cache_dir() -> str:
 
 
 def enable_compile_cache() -> str:
-    """Point jax at the persistent compile cache; returns the path."""
+    """Point jax at the persistent compile cache; returns the path.
+
+    CPU-backend processes get a ``-cpu``-suffixed directory of their own:
+    on remote-compile rigs (``PALLAS_AXON_REMOTE_COMPILE``) the shared cache
+    fills with XLA:CPU AOT executables compiled for the *service's* machine,
+    which the local loader rejects on every load with machine-feature
+    mismatch errors ("could lead to SIGILL") — so a mixed directory gives
+    local CPU runs zero hits plus a failed-load penalty per executable.
+    """
     import jax
 
     path = compile_cache_dir()
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR") and jax.default_backend() == "cpu":
+        path += "-cpu"
     jax.config.update("jax_compilation_cache_dir", path)
     return path

@@ -42,6 +42,21 @@ def test_contrastive_step_decreases_loss(rng):
     assert int(state.step) == 4
 
 
+def test_contrastive_step_unequal_view_durations(rng):
+    """The reference collate draws input_length_a and input_length_b
+    independently (data_loader.py:51) — the step must accept A/B views of
+    different lengths (regression: the concat formulation crashed on the
+    first real collate batch with La != Lb)."""
+    enc, state, tx = init_contrastive(SMALL_ENC, example_length=T)
+    step = jax.jit(make_contrastive_train_step(enc, tx, temperature=0.1))
+    a = jnp.asarray(rng.standard_normal((2, 4, 2, T)).astype(np.float32) * 0.2)
+    b = jnp.asarray(
+        rng.standard_normal((2, 4, 2, T // 2)).astype(np.float32) * 0.2
+    )
+    state, loss = step(state, a, b)
+    assert np.isfinite(float(loss)) and int(state.step) == 1
+
+
 def test_contrastive_sharded_matches_single(rng):
     """Sharded step over a 4-device mesh == single-device step on the global
     batch (the all_gather reproduces full-batch negatives; psum reconstructs
