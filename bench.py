@@ -9,9 +9,12 @@ Two measurements (reference ``style_transfer.py:112-177`` semantics):
    sample stems, tiled to ~60 s) through the production ``run_directory``
    path: WAV read + batched FX normalization + segmentation + encoder
    embedding mean + converter + reassembly + WAV write, i.e. everything a
-   user's CLI run does after checkpoint load. Reported for both the
-   device-resident PCM fast path (``e2e_rtf``, the default path) and the
-   per-stage host path (``e2e_host_rtf``).
+   user's CLI run does after checkpoint load. Reported for the
+   device-resident PCM fast path (``e2e_rtf``, the default), for 32-bit
+   float WAV sources through the same device-resident stages after a
+   float32 upload (``e2e_f32src_rtf`` — the path non-16-bit inputs take;
+   2x the int16 upload bytes), and for the per-stage host path
+   (``e2e_host_rtf``, the legacy ``--pcm_fast_path false`` route).
 3. **feature-extraction RTF** — the ``feature_extraction`` CLI hot path
    (segment + encode + mean embedding).
 
@@ -81,10 +84,15 @@ def model_only_rtf(args, dtype_str: str) -> float:
     return B * SEG / SR / dt
 
 
-def _tiled_song_stems(name_dir: str, seconds: float, out_dir: str, tag: str):
+def _tiled_song_stems(
+    name_dir: str, seconds: float, out_dir: str, tag: str, sampwidth: int = 2
+):
     """Tile the ~15 s reference sample stems to ``seconds`` and write them to
     disk (as ``<out_dir>/<inst>.wav``) so the benched path includes real WAV
-    reads."""
+    reads. ``sampwidth=4`` writes 32-bit PCM to bench the float-source
+    route."""
+    import wave
+
     from music_mixing_style_transfer_tpu.data.wavio import read_wav_stereo_ct, write_wav
 
     paths = {}
@@ -94,7 +102,17 @@ def _tiled_song_stems(name_dir: str, seconds: float, out_dir: str, tag: str):
         reps = int(np.ceil(T / x.shape[1]))
         x = np.tile(x, (1, reps))[:, :T]
         p = os.path.join(out_dir, inst + ".wav")
-        write_wav(p, x.T)
+        if sampwidth == 4:
+            pcm = np.clip(
+                np.round(x.T * 2.0**31), -(2.0**31), 2.0**31 - 1
+            ).astype("<i4")
+            with wave.open(p, "w") as w:
+                w.setnchannels(2)
+                w.setsampwidth(4)
+                w.setframerate(SR)
+                w.writeframes(np.ascontiguousarray(pcm).tobytes())
+        else:
+            write_wav(p, x.T)
         paths[inst] = p
     return paths
 
@@ -120,17 +138,22 @@ def e2e_rtf(args) -> dict:
     tmp = "/tmp/bench_e2e"
     # two songs: run_directory pipelines host I/O + PCM upload of song i+1
     # under song i's in-flight device work, so the 2-song aggregate measures
-    # the production serving throughput, not one song's serial latency
-    for si in range(2):
-        song = os.path.join(tmp, "songs", f"song{si}", "separated", "mdx_extra")
-        _tiled_song_stems(
-            f"{SAMPLES}/style_transfer/#0/separated/mdx_extra/input",
-            args.seconds, _ensure(os.path.join(song, "input")), "input",
-        )
-        _tiled_song_stems(
-            f"{SAMPLES}/interpolation/#0/separated/mdx_extra/reference",
-            args.seconds, _ensure(os.path.join(song, "reference")), "reference",
-        )
+    # the production serving throughput, not one song's serial latency.
+    # "songs" holds 16-bit sources (int16 PCM upload); "songs_f32" the same
+    # audio as 32-bit WAVs (float32 upload route for non-16-bit sources).
+    for root, width in (("songs", 2), ("songs_f32", 4)):
+        for si in range(2):
+            song = os.path.join(tmp, root, f"song{si}", "separated", "mdx_extra")
+            _tiled_song_stems(
+                f"{SAMPLES}/style_transfer/#0/separated/mdx_extra/input",
+                args.seconds, _ensure(os.path.join(song, "input")), "input",
+                sampwidth=width,
+            )
+            _tiled_song_stems(
+                f"{SAMPLES}/interpolation/#0/separated/mdx_extra/reference",
+                args.seconds, _ensure(os.path.join(song, "reference")), "reference",
+                sampwidth=width,
+            )
 
     normalizer = AudioEffectsNormalizer(
         os.path.join(here, "musdb18_fxfeatures_eqcompimagegain.npy"),
@@ -138,7 +161,14 @@ def e2e_rtf(args) -> dict:
     )
     engine = StyleTransferEngine(dtype=args.dtype)
     out = {}
-    for key, fast in (("e2e_rtf", True), ("e2e_host_rtf", False)):
+    variants = [
+        ("e2e_rtf", True, "songs"),
+        ("e2e_f32src_rtf", True, "songs_f32"),
+        ("e2e_host_rtf", False, "songs"),
+    ]
+    for key, fast, root in variants:
+        if key == "e2e_host_rtf" and args.skip_e2e_host:
+            continue
         cfg = InferenceConfig(
             batch_size=args.batch, dtype=args.dtype, pcm_fast_path=fast
         )
@@ -147,7 +177,7 @@ def e2e_rtf(args) -> dict:
         def run():
             t0 = time.perf_counter()
             written = pipeline.run_directory(
-                os.path.join(tmp, "songs"), os.path.join(tmp, "out")
+                os.path.join(tmp, root), os.path.join(tmp, "out_" + root)
             )
             dt = time.perf_counter() - t0
             assert len(written) == 2
@@ -158,8 +188,6 @@ def e2e_rtf(args) -> dict:
 
         run()  # compile + cache warmup (all shapes identical on 2nd run)
         out[key] = 2 * args.seconds / run()
-        if fast and args.skip_e2e_host:
-            break
     return out
 
 

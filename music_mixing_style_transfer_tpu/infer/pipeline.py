@@ -593,37 +593,63 @@ class MixingStyleTransfer:
         if cfg.interpolation:
             tag += "_interpolation"
 
-        written = []
-        pending = None  # (out_dir, mixture, outputs) — device arrays in flight
+        import concurrent.futures as cf
+
+        # 3-stage software pipeline over songs (read | upload+compute | write):
+        # a reader thread prefetches song i+1's stem WAVs while song i's PCM
+        # upload occupies the host<->device link, and a writer thread downloads
+        # + writes song i-1's results while song i's compute is in flight — so
+        # the steady-state wall per song is just its tunnel-transfer time
+        # (DESIGN.md "e2e throughput"; reference hot path
+        # style_transfer.py:112-177 is fully serial).
+        io_pool = cf.ThreadPoolExecutor(2, thread_name_prefix="mst-io")
+        write_futs: List = []  # ordered; joined (in order) before returning
 
         def _finish(p):
             out_dir, mixture, outputs = p
-            os.makedirs(out_dir, exist_ok=True)
-            if cfg.save_each_inst and outputs:
-                for inst, y in outputs.items():
-                    write_wav(
-                        os.path.join(out_dir, f"{inst}_{tag}.wav"),
-                        np.asarray(y).T,
-                        cfg.sample_rate,
-                    )
-            out_path = os.path.join(out_dir, f"mixture_{tag}.wav")
-            write_wav(out_path, np.asarray(mixture).T, cfg.sample_rate)
-            written.append(out_path)
 
-        for song_dir in sorted(glob.glob(os.path.join(target_dir, "*/"))):
+            def _write():
+                os.makedirs(out_dir, exist_ok=True)
+                if cfg.save_each_inst and outputs:
+                    for inst, y in outputs.items():
+                        write_wav(
+                            os.path.join(out_dir, f"{inst}_{tag}.wav"),
+                            np.asarray(y).T,
+                            cfg.sample_rate,
+                        )
+                out_path = os.path.join(out_dir, f"mixture_{tag}.wav")
+                # np.asarray here IS the device->host download: it runs on the
+                # writer thread, overlapping the next song's upload/compute
+                write_wav(out_path, np.asarray(mixture).T, cfg.sample_rate)
+                return out_path
+
+            write_futs.append(io_pool.submit(_write))
+
+        song_dirs = sorted(glob.glob(os.path.join(target_dir, "*/")))
+        prefetch_ok = cfg.pcm_fast_path and cfg.segment_halo == 0
+        next_fut = None
+        if prefetch_ok and song_dirs:
+            next_fut = io_pool.submit(self._load_song_pcm, song_dirs[0], sep_dir)
+
+        pending = None  # (out_dir, mixture, outputs) — device arrays in flight
+        for i, song_dir in enumerate(song_dirs):
             log.info("song: %s", song_dir)
             out_dir = os.path.join(output_dir, os.path.relpath(song_dir, target_dir))
 
-            # fast path: this song's WAV reads + PCM upload + dispatch happen
-            # BEFORE the previous song's results are downloaded, so host I/O
-            # overlaps the device compute still in flight (2-song software
-            # pipeline; JAX async dispatch provides the queue)
             dispatched = None
-            if cfg.pcm_fast_path and cfg.segment_halo == 0:
+            if prefetch_ok:
                 try:
-                    dispatched = self._run_song_pcm(song_dir, sep_dir)
+                    bundle = next_fut.result()
                 except ValueError as e:  # non-16-bit / unequal stems etc.
+                    bundle = None
                     log.info("pcm fast path unavailable (%s); host path", e)
+                # kick off song i+1's WAV reads before song i's upload
+                if i + 1 < len(song_dirs):
+                    next_fut = io_pool.submit(
+                        self._load_song_pcm, song_dirs[i + 1], sep_dir
+                    )
+                if bundle is not None:
+                    dispatched = self._dispatch_song_pcm(bundle)
 
             if pending is not None:
                 _finish(pending)
@@ -656,12 +682,16 @@ class MixingStyleTransfer:
 
         if pending is not None:
             _finish(pending)
+        try:
+            written = [f.result() for f in write_futs]  # song order
+        finally:
+            io_pool.shutdown(wait=True)
         return written
 
-    def _run_song_pcm(self, song_dir: str, sep_dir: str):
-        """Load one song's stems as raw PCM and dispatch the device-resident
-        path; returns DEVICE arrays (the caller downloads when it drains the
-        pipeline)."""
+    def _load_song_pcm(self, song_dir: str, sep_dir: str):
+        """Read one song's stem WAVs as raw PCM stacks (host I/O only — safe
+        to run on the reader thread while the device link is busy). Returns
+        ``(input [S,2,T], reference [S,2,Tr], reference_b | None)``."""
         from ..data.wavio import read_wav_stereo_ct_i16
 
         cfg = self.cfg
@@ -693,16 +723,27 @@ class MixingStyleTransfer:
                 [np.pad(s, ((0, 0), (0, T - s.shape[-1]))) for s in stems]
             )
 
-        t0 = time.perf_counter()
-        mixture, stems_out = self.transfer_song_pcm(
+        return (
             load_pcm(cfg.input_file_name),
             load_pcm(cfg.reference_file_name),
-            want_stems=cfg.save_each_inst,
-            reference_pcm_b=(
+            (
                 load_pcm(cfg.reference_file_name_2interpolate)
                 if cfg.interpolation
                 else None
             ),
+        )
+
+    def _dispatch_song_pcm(self, bundle):
+        """Upload one preloaded PCM bundle and dispatch the device-resident
+        path; returns DEVICE arrays (the caller downloads when it drains the
+        pipeline)."""
+        in_pcm, ref_pcm, ref_b_pcm = bundle
+        t0 = time.perf_counter()
+        mixture, stems_out = self.transfer_song_pcm(
+            in_pcm,
+            ref_pcm,
+            want_stems=self.cfg.save_each_inst,
+            reference_pcm_b=ref_b_pcm,
             sync=False,
         )
         log.info(
