@@ -1,23 +1,103 @@
-"""WAV I/O using only the stdlib ``wave`` module + numpy.
+"""WAV I/O using only stdlib + numpy.
 
 Replaces the reference's soundfile/librosa loaders
 (``data_loader/loader_utils.py:31-70``, ``common_dataprocessing.py:26-89``)
-— the deployment image carries neither; 16/32-bit PCM covers the system's
-format contract (44.1 kHz stereo PCM_16).
+— the deployment image carries neither. Reads 16/24/32-bit integer PCM and
+32/64-bit IEEE float, plain or WAVE_FORMAT_EXTENSIBLE, via a minimal RIFF
+parser (the stdlib ``wave`` module rejects float and EXTENSIBLE files);
+writes 16-bit PCM. Same format coverage as the native C++ bank
+(``cpp/mstio.cc``).
 """
 from __future__ import annotations
 
 import os
+import struct
 import wave
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
+
+_FMT_PCM = 1
+_FMT_FLOAT = 3
+_FMT_EXTENSIBLE = 0xFFFE
+
+
+class _WavInfo(NamedTuple):
+    rate: int
+    channels: int
+    width: int  # bytes per sample
+    is_float: bool
+    data_start: int  # byte offset of sample data
+    n_frames: int
+
+
+def _parse_header(path: str) -> _WavInfo:
+    """Minimal RIFF/WAVE header parse: ``fmt `` + ``data`` chunks, other
+    chunks skipped (word-aligned), EXTENSIBLE resolved via its sub-format."""
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        rate = channels = width = None
+        is_float = False
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                raise ValueError(f"{path}: no data chunk")
+            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            if cid == b"fmt ":
+                body = f.read(size)
+                tag, channels, rate = struct.unpack("<HHI", body[:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+                if tag == _FMT_EXTENSIBLE:
+                    if size < 26:
+                        raise ValueError(f"{path}: truncated EXTENSIBLE fmt")
+                    tag = struct.unpack("<H", body[24:26])[0]
+                if tag == _FMT_FLOAT:
+                    is_float = True
+                elif tag != _FMT_PCM:
+                    raise ValueError(f"{path}: unsupported WAV format tag {tag}")
+                width = bits // 8
+                if size % 2:
+                    f.seek(1, 1)
+            elif cid == b"data":
+                if rate is None:
+                    raise ValueError(f"{path}: data chunk before fmt")
+                frame = channels * width
+                return _WavInfo(
+                    rate, channels, width, is_float, f.tell(), size // frame
+                )
+            else:
+                f.seek(size + (size % 2), 1)
+
+
+def _decode(raw: bytes, info: _WavInfo, path: str) -> np.ndarray:
+    """Decode interleaved sample bytes to float32 in [-1, 1]."""
+    if info.is_float:
+        if info.width == 4:
+            return np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        if info.width == 8:
+            return np.frombuffer(raw, dtype="<f8").astype(np.float32)
+        raise ValueError(f"{path}: unsupported float width {info.width * 8}-bit")
+    if info.width == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 2.0**15
+    if info.width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        x = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        x -= (x & 0x800000) << 1  # sign-extend 24-bit
+        return x.astype(np.float32) / 2.0**23
+    if info.width == 4:
+        return np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2.0**31
+    raise ValueError(f"{path}: unsupported sample width {info.width * 8}-bit")
 
 
 def wav_length(path: str) -> int:
     """Number of frames in a WAV file (reference ``load_wav_length``)."""
-    with wave.open(path, "r") as w:
-        return w.getnframes()
+    return _parse_header(path).n_frames
 
 
 def total_wav_length(paths) -> int:
@@ -30,29 +110,23 @@ def read_wav(
     duration: Optional[int] = None,
     expected_rate: Optional[int] = 44100,
 ) -> Tuple[np.ndarray, int]:
-    """Read (a segment of) a PCM WAV file.
+    """Read (a segment of) a WAV file: int PCM 16/24/32-bit or float 32/64.
 
     Returns ``(audio [T, C] float32 in [-1, 1], sample_rate)``.
     """
-    with wave.open(path, "r") as w:
-        rate = w.getframerate()
-        if expected_rate is not None and rate != expected_rate:
-            raise ValueError(f"{path}: sample rate {rate} != expected {expected_rate}")
-        n_channels = w.getnchannels()
-        width = w.getsampwidth()
-        if duration is None:
-            duration = w.getnframes() - start
-        w.setpos(start)
-        raw = w.readframes(duration)
-
-    if width == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 2.0**15
-    elif width == 4:
-        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2.0**31
-    else:
-        raise ValueError(f"{path}: unsupported sample width {width} (need 16/32-bit)")
-
-    return x.reshape(-1, n_channels), rate
+    info = _parse_header(path)
+    if expected_rate is not None and info.rate != expected_rate:
+        raise ValueError(
+            f"{path}: sample rate {info.rate} != expected {expected_rate}"
+        )
+    if duration is None:
+        duration = info.n_frames - start
+    duration = max(0, min(duration, info.n_frames - start))
+    frame = info.channels * info.width
+    with open(path, "rb") as f:
+        f.seek(info.data_start + start * frame)
+        raw = f.read(duration * frame)
+    return _decode(raw, info, path).reshape(-1, info.channels), info.rate
 
 
 def write_wav(path: str, audio: np.ndarray, rate: int = 44100) -> None:
@@ -91,15 +165,18 @@ def read_wav_stereo_ct_i16(path: str, expected_rate: Optional[int] = 44100) -> n
     The device-resident inference path uploads PCM and dequantizes on device
     — half the host->device traffic of float32 with zero quality loss
     (``x/32768`` reproduces :func:`read_wav` exactly)."""
-    with wave.open(path, "r") as w:
-        rate = w.getframerate()
-        if expected_rate is not None and rate != expected_rate:
-            raise ValueError(f"{path}: sample rate {rate} != expected {expected_rate}")
-        if w.getsampwidth() != 2:
-            raise ValueError(f"{path}: int16 fast path needs 16-bit PCM")
-        n_channels = w.getnchannels()
-        raw = w.readframes(w.getnframes())
-    x = np.frombuffer(raw, dtype="<i2").reshape(-1, n_channels).T
+    info = _parse_header(path)
+    if expected_rate is not None and info.rate != expected_rate:
+        raise ValueError(
+            f"{path}: sample rate {info.rate} != expected {expected_rate}"
+        )
+    if info.width != 2 or info.is_float:
+        raise ValueError(f"{path}: int16 fast path needs 16-bit PCM")
+    frame = info.channels * 2
+    with open(path, "rb") as f:
+        f.seek(info.data_start)
+        raw = f.read(info.n_frames * frame)
+    x = np.frombuffer(raw, dtype="<i2").reshape(-1, info.channels).T
     if x.shape[0] == 1:
         x = np.repeat(x, 2, axis=0)
     return np.ascontiguousarray(x)
