@@ -23,6 +23,7 @@ reproducible from PRNG keys.
 """
 from __future__ import annotations
 
+import functools
 import glob as globlib
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -39,6 +40,50 @@ PAD_B4_MANIPULATION = 2048  # reference data_loader.py:127
 
 def _bucket_length(n: int, quantum: int = 4096) -> int:
     return max(quantum, (n // quantum) * quantum)
+
+
+@functools.lru_cache(maxsize=16)
+def _split_fn(n: int):
+    return jax.jit(jax.vmap(lambda k: jax.random.split(k, n)))
+
+
+def host_split_keys(seeds: Sequence[int], n: int) -> np.ndarray:
+    """``[jax.random.split(jax.random.PRNGKey(s), n) for s in seeds]`` as one
+    batched dispatch, returned to host: ``[len(seeds), n, 2]`` uint32.
+
+    The seed->key packing replicates ``threefry_seed`` for the live config —
+    with x64 disabled (this codebase's world) ``PRNGKey`` keeps only the low
+    32 bits of the seed; with x64 it packs hi/lo words — asserted against
+    ``PRNGKey`` in tests/test_fused_train.py. Non-negative seeds only
+    (negative Python ints take PRNGKey's int32 path, which packs
+    differently; no caller here produces them). Feeds the fused train path
+    (train/fused.py): the host ships raw FX keys with the raw segments so
+    manipulation can run inside the step."""
+    if any(s < 0 for s in seeds):
+        raise ValueError("host_split_keys requires non-negative seeds")
+    s64 = np.asarray(seeds, np.int64).view(np.uint64)
+    hi = (
+        (s64 >> np.uint64(32))
+        if jax.config.jax_enable_x64
+        else np.zeros_like(s64)
+    )
+    keydata = np.stack([hi, s64 & np.uint64(0xFFFFFFFF)], -1)
+    return np.asarray(_split_fn(n)(keydata.astype(np.uint32)))
+
+
+def to_transport(segs: np.ndarray, transport: str = "auto") -> np.ndarray:
+    """Quantize float32 segments to int16 for the host->device hop when that
+    is lossless (sources read from 16-bit PCM are exactly ``pcm/32768``);
+    ``auto`` verifies the round-trip and keeps float32 otherwise."""
+    if transport == "float32":
+        return segs
+    q = np.clip(np.round(segs * 32768.0), -32768, 32767).astype(np.int16)
+    if transport == "int16":
+        return q
+    if transport != "auto":
+        raise ValueError(f"unknown transport {transport!r}")
+    exact = np.array_equal(q.astype(np.float32) * (1.0 / 32768.0), segs)
+    return q if exact else segs
 
 
 class _MUSDBFiles:
@@ -157,12 +202,13 @@ class ContrastivePairDataset:
             return np.random.default_rng(base)
         return np.random.default_rng(idx * self.fixed_random_seed)
 
-    def _keys_for(self, idx: int, epoch_seed: Optional[int], n: int) -> jax.Array:
+    def _seed_for(self, idx: int, epoch_seed: Optional[int]) -> int:
         if self.mode == "train":
-            key = jax.random.PRNGKey((epoch_seed or 0) * 1_000_003 + idx)
-        else:
-            key = jax.random.PRNGKey(idx * self.fixed_random_seed)
-        return jax.random.split(key, n)
+            return (epoch_seed or 0) * 1_000_003 + idx
+        return idx * self.fixed_random_seed
+
+    def _keys_for(self, idx: int, epoch_seed: Optional[int], n: int) -> jax.Array:
+        return jax.random.split(jax.random.PRNGKey(self._seed_for(idx, epoch_seed)), n)
 
     # ------------------------------------------------------------------
     def sample_batch(
@@ -215,6 +261,61 @@ class ContrastivePairDataset:
         )
 
     # ------------------------------------------------------------------
+    def sample_raw_batch(
+        self,
+        indices: Sequence[int],
+        epoch_seed: Optional[int] = None,
+        transport: str = "auto",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host side of the fused train path (``train/fused.py``): raw
+        segments + FX PRNG keys, NO device work and no manipulated-audio
+        round trip. Same rng/key consumption order as :meth:`sample_batch`,
+        so the fused on-device augmentation reproduces it exactly
+        (tests/test_fused_train.py).
+
+        Returns ``(segs [n_inst, B, 2(content A/B), 2(ch), L_load]``
+        (int16 when losslessly quantizable, else float32),
+        ``keys [n_inst, B, K, 2] uint32)``.
+        """
+        K = self.num_strong_negatives + 1
+        load_len = self.segment_length + 2 * self.pad
+        n_inst, B = len(self.instruments), len(indices)
+        segs = np.zeros((n_inst, B, 2, 2, load_len), np.float32)
+        for j, idx in enumerate(indices):
+            rng = self._rng_for(idx, epoch_seed)
+            for ii in range(n_inst):
+                segs[ii, j] = self.files.sample_segments(
+                    rng, self.instruments[ii], 2, load_len
+                )
+        seeds = [self._seed_for(idx, epoch_seed) for idx in indices]
+        keys = host_split_keys(seeds, K * n_inst)  # [B, K*n_inst, 2]
+        keys = keys.reshape(B, n_inst, K, 2).transpose(1, 0, 2, 3)
+        return to_transport(segs, transport), np.ascontiguousarray(keys)
+
+    def collate_plan(
+        self,
+        n_items: int,
+        rng: np.random.Generator,
+        quantum: Optional[int] = None,
+    ) -> Tuple[int, int, np.ndarray, np.ndarray]:
+        """The (la, lb, sa, sb) draw of :meth:`collate_random_duration`
+        without touching audio — the fused path crops on device. Consumes
+        ``rng`` in the identical order, so legacy and fused runs see the
+        same crop plan."""
+        L = self.segment_length
+        if quantum is None:
+            quantum = max(4096, L // 8)
+        la = _bucket_length(int(rng.integers(L // 2, L)), quantum)
+        lb = _bucket_length(int(rng.integers(L // 2, L)), quantum)
+        sa = np.array(
+            [int(rng.integers(0, L - la + 1)) for _ in range(n_items)], np.int32
+        )
+        sb = np.array(
+            [int(rng.integers(0, L - lb + 1)) for _ in range(n_items)], np.int32
+        )
+        return la, lb, sa, sb
+
+    # ------------------------------------------------------------------
     def collate_random_duration(
         self,
         batch_a: Dict[str, np.ndarray],
@@ -234,14 +335,8 @@ class ContrastivePairDataset:
 
         Returns stacked arrays ``[n_inst, B, 2, La] / [..., Lb]``.
         """
-        L = self.segment_length
-        if quantum is None:
-            quantum = max(4096, L // 8)
-        la = _bucket_length(int(rng.integers(L // 2, L)), quantum)
-        lb = _bucket_length(int(rng.integers(L // 2, L)), quantum)
         n_items = next(iter(batch_a.values())).shape[0]
-        sa = [int(rng.integers(0, L - la + 1)) for _ in range(n_items)]
-        sb = [int(rng.integers(0, L - lb + 1)) for _ in range(n_items)]
+        la, lb, sa, sb = self.collate_plan(n_items, rng, quantum)
         a = np.stack(
             [
                 np.stack([batch_a[i][j, :, sa[j] : sa[j] + la] for j in range(n_items)])
@@ -370,6 +465,40 @@ class StyleTransferTripletDataset:
     def __len__(self) -> int:
         inst = self.instruments[-1]
         return sum(self.files.lengths[inst]) // self.segment_length
+
+    def _seed_for(self, idx: int, epoch_seed: Optional[int]) -> int:
+        if self.mode == "train":
+            return (epoch_seed or 0) * 1_000_003 + idx
+        return idx * self.fixed_random_seed
+
+    def sample_raw_batch(
+        self,
+        indices: Sequence[int],
+        epoch_seed: Optional[int] = None,
+        transport: str = "auto",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host side of the fused converter step (``train/fused.py``): raw
+        segments + per-instrument FX keys, no device work. Returns
+        ``(segs [n_inst, B, 2, 2, L_load], keys [n_inst, B, 2] uint32)``."""
+        load_len = self.segment_length + 2 * self.pad
+        n_inst, B = len(self.instruments), len(indices)
+        segs = np.zeros((n_inst, B, 2, 2, load_len), np.float32)
+        for j, idx in enumerate(indices):
+            if self.mode == "train":
+                rng = np.random.default_rng(
+                    np.random.SeedSequence([epoch_seed or 0, idx])
+                )
+            else:
+                rng = np.random.default_rng(idx * self.fixed_random_seed)
+            for ii in range(n_inst):
+                segs[ii, j] = self.files.sample_segments(
+                    rng, self.instruments[ii], 2, load_len
+                )
+        seeds = [self._seed_for(idx, epoch_seed) for idx in indices]
+        keys = host_split_keys(seeds, n_inst)  # [B, n_inst, 2]
+        return to_transport(segs, transport), np.ascontiguousarray(
+            keys.transpose(1, 0, 2)
+        )
 
     def sample_batch(
         self, indices: Sequence[int], epoch_seed: Optional[int] = None

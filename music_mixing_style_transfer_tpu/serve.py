@@ -8,7 +8,8 @@ cache loading, a warm server pays it once).
 
 Endpoints (JSON over POST unless noted):
 
-- ``GET  /health``      -> {"status": "ok", "backend": "...", "requests": N}
+- ``GET  /health``      -> {"status": "ok", "backend": ..., "requests": N,
+                           "busy": bool, "queue_depth": N, "max_queue": N}
 - ``POST /transfer``    -> body {"target_dir": ..., "output_dir": ...,
                            optional "interpolation": bool}
                            runs the directory pipeline, returns written paths
@@ -18,6 +19,11 @@ Endpoints (JSON over POST unless noted):
                            request path on a synthetic song of that length;
                            returns {"cold_s": ..., "warm_s": ...}
                            (also runs at startup with --warmup_seconds N)
+
+Admission: one request computes at a time (single chip); up to --max_queue
+more wait FIFO; beyond that /transfer//embed get 429 + Retry-After. /warmup
+only runs when the service is idle (409 otherwise) so it can never block
+live traffic.
 
 Run:  python -m music_mixing_style_transfer_tpu.serve --port 8700 \
           [--ckpt_path_enc ... --ckpt_path_conv ... --dtype bfloat16]
@@ -41,29 +47,88 @@ from .utils.logging import get_logger
 log = get_logger("serve")
 
 
+class QueueFullError(Exception):
+    """Admission queue at capacity — surface as HTTP 429."""
+
+
+class ServiceBusyError(Exception):
+    """Admission-aware endpoint declined to queue — surface as HTTP 409."""
+
+
+class AdmissionQueue:
+    """Bounded FIFO admission to the chip (one request computes at a time;
+    the chip serializes anyway — this makes the queue VISIBLE and BOUNDED
+    instead of an invisible pile-up behind a lock).
+
+    ``acquire()`` joins the queue or raises :class:`QueueFullError` when
+    ``max_queue`` requests are already waiting; ``acquire_if_idle()`` only
+    proceeds when nothing is queued or running (warmup must never block a
+    live request). ``snapshot()`` feeds ``/health``.
+    """
+
+    def __init__(self, max_queue: int = 4):
+        self.max_queue = int(max_queue)
+        self._chip = threading.Lock()
+        self._meta = threading.Lock()
+        self._admitted = 0  # running (<=1) + waiting
+
+    def acquire(self) -> None:
+        with self._meta:
+            if self._admitted > self.max_queue:  # 1 running + max_queue waiting
+                raise QueueFullError(
+                    f"queue full ({self.max_queue} waiting); retry later"
+                )
+            self._admitted += 1
+        self._chip.acquire()
+
+    def acquire_if_idle(self) -> None:
+        with self._meta:
+            if self._admitted > 0:
+                raise ServiceBusyError("requests in flight; warmup declined")
+            self._admitted += 1
+        self._chip.acquire()
+
+    def release(self) -> None:
+        self._chip.release()
+        with self._meta:
+            self._admitted -= 1
+
+    def snapshot(self) -> dict:
+        with self._meta:
+            return {
+                "busy": self._admitted > 0,
+                "queue_depth": max(self._admitted - 1, 0),
+                "max_queue": self.max_queue,
+            }
+
+
 class StyleTransferService:
-    """Warm engine + (optional) normalizer; one request at a time on the chip."""
+    """Warm engine + (optional) normalizer; bounded-queue admission to the chip."""
 
     def __init__(
         self,
         engine: StyleTransferEngine,
         inference_cfg: Optional[InferenceConfig] = None,
         normalizer=None,
+        max_queue: int = 4,
     ):
         self.engine = engine
         self.cfg = inference_cfg or InferenceConfig()
         self.normalizer = normalizer
-        self._lock = threading.Lock()
+        self.admission = AdmissionQueue(max_queue)
         self.requests = 0
 
     def transfer(self, target_dir: str, output_dir: Optional[str] = None, interpolation: bool = False):
         import dataclasses
 
-        with self._lock:
+        self.admission.acquire()
+        try:
             self.requests += 1
             cfg = dataclasses.replace(self.cfg, interpolation=interpolation)
             pipeline = MixingStyleTransfer(self.engine, cfg, normalizer=self.normalizer)
             return pipeline.run_directory(target_dir, output_dir)
+        finally:
+            self.admission.release()
 
     def warmup(self, seconds: float = 30.0):
         """Compile + execute the production request shapes before traffic.
@@ -80,7 +145,8 @@ class StyleTransferService:
         """
         import time
 
-        with self._lock:
+        self.admission.acquire_if_idle()
+        try:
             cfg = self.cfg
             pipeline = MixingStyleTransfer(self.engine, cfg, normalizer=self.normalizer)
             rng = np.random.default_rng(0)
@@ -101,9 +167,12 @@ class StyleTransferService:
                 seconds, out["cold_s"], out["warm_s"],
             )
             return out
+        finally:
+            self.admission.release()
 
     def embed(self, wav_path: str, segment_length: Optional[int] = None):
-        with self._lock:
+        self.admission.acquire()
+        try:
             self.requests += 1
             try:
                 # 16-bit PCM uploads int16 and dequantizes on device:
@@ -119,6 +188,8 @@ class StyleTransferService:
                 audio, segment_length or self.cfg.segment_length_ref
             )
             return np.asarray(emb).tolist()
+        finally:
+            self.admission.release()
 
 
 def make_handler(service: StyleTransferService):
@@ -144,6 +215,7 @@ def make_handler(service: StyleTransferService):
                         "status": "ok",
                         "backend": jax.default_backend(),
                         "requests": service.requests,
+                        **service.admission.snapshot(),
                     },
                 )
             else:
@@ -167,6 +239,18 @@ def make_handler(service: StyleTransferService):
                     self._send(200, service.warmup(float(req.get("seconds", 30.0))))
                 else:
                     self._send(404, {"error": "unknown endpoint"})
+            except QueueFullError as e:
+                self.send_response(429)
+                body = json.dumps(
+                    {"error": str(e), **service.admission.snapshot()}
+                ).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Retry-After", "30")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except ServiceBusyError as e:
+                self._send(409, {"error": str(e), **service.admission.snapshot()})
             except Exception as e:  # pragma: no cover - error path
                 log.exception("request failed")
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
@@ -203,6 +287,11 @@ def main(argv=None) -> int:
         "--sequence_parallel", action="store_true",
         help="with --data_parallel > 1: convert each whole stem in one "
         "time-sharded forward (ppermute conv halos) — boundary-free output",
+    )
+    p.add_argument(
+        "--max_queue", type=int, default=4,
+        help="requests allowed to WAIT behind the one computing; beyond "
+        "this /transfer and /embed return 429 with Retry-After",
     )
     p.add_argument(
         "--warmup_seconds", type=float, default=0.0,
@@ -245,7 +334,7 @@ def main(argv=None) -> int:
         segment_halo=args.segment_halo,
         sequence_parallel=args.sequence_parallel,
     )
-    service = StyleTransferService(engine, cfg, normalizer)
+    service = StyleTransferService(engine, cfg, normalizer, max_queue=args.max_queue)
     if args.warmup_seconds > 0:
         log.info("warming up (%.1fs synthetic song) before accepting traffic", args.warmup_seconds)
         service.warmup(args.warmup_seconds)

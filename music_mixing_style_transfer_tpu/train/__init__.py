@@ -12,6 +12,13 @@ from .converter import (
     make_converter_train_step,
     make_sharded_converter_step,
 )
+from .fused import (
+    FusedContrastivePipeline,
+    make_fused_contrastive_step,
+    make_fused_converter_step,
+    make_sharded_fused_contrastive_step,
+    make_sharded_fused_converter_step,
+)
 from .state import TrainState, create_train_state, make_optimizer
 
 __all__ = [
@@ -28,4 +35,9 @@ __all__ = [
     "init_converter",
     "make_converter_train_step",
     "make_sharded_converter_step",
+    "FusedContrastivePipeline",
+    "make_fused_contrastive_step",
+    "make_fused_converter_step",
+    "make_sharded_fused_contrastive_step",
+    "make_sharded_fused_converter_step",
 ]

@@ -21,6 +21,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import FXencoderConfig, TCNConfig, TrainConfig
 from ..data.datasets import ContrastivePairDataset, StyleTransferTripletDataset
@@ -31,6 +32,11 @@ from ..utils.logging import Timer, get_logger
 from .checkpoint import CheckpointManager
 from .contrastive import init_contrastive, make_contrastive_train_step, make_sharded_contrastive_step
 from .converter import init_converter, make_converter_train_step, make_sharded_converter_step
+from .fused import (
+    FusedContrastivePipeline,
+    make_fused_converter_step,
+    make_sharded_fused_converter_step,
+)
 from .state import current_lr
 
 log = get_logger("train")
@@ -68,28 +74,48 @@ def train_fxencoder(
     val_every: int = 1,
     keep_ckpts: int = 2,
     resume: bool = True,
+    fused: bool = False,
+    instruments=("drums", "bass", "other", "vocals"),
 ):
-    """Contrastive FXencoder training (SURVEY.md §3.4 step semantics)."""
+    """Contrastive FXencoder training (SURVEY.md §3.4 step semantics).
+
+    ``fused=True`` routes augmentation through the device-resident
+    :class:`FusedContrastivePipeline` (train/fused.py): the host ships raw
+    int16 PCM + PRNG keys + the crop plan, and FX manipulation / cropping /
+    the train step chain on device with no manipulated-audio round trip —
+    numerics identical to the legacy path (tests/test_fused_train.py).
+    """
     tcfg = train_cfg or TrainConfig()
     enc, state, tx = init_contrastive(encoder_cfg, tcfg, seed=tcfg.seed)
 
     mesh = create_mesh() if use_mesh and len(jax.devices()) > 1 else None
-    if mesh is not None:
+    pipeline = None
+    if fused:
+        pipeline = FusedContrastivePipeline(
+            enc, tx, tcfg.temperature, mesh=mesh, compute_dtype=tcfg.compute_dtype
+        )
+        step_fn = None
+    elif mesh is not None:
         step_fn = make_sharded_contrastive_step(
             enc, tx, mesh, tcfg.temperature, compute_dtype=tcfg.compute_dtype
         )
-        log.info("training on %d-device mesh", mesh.devices.size)
     else:
         step_fn = jax.jit(
             make_contrastive_train_step(
                 enc, tx, tcfg.temperature, compute_dtype=tcfg.compute_dtype
             )
         )
+    if mesh is not None:
+        log.info("training on %d-device mesh", mesh.devices.size)
 
     mgr = CheckpointManager(os.path.join(out_dir, "ckpt"), keep=keep_ckpts)
     start_epoch = 0
     if resume and mgr.latest_step() is not None:
         state = mgr.restore(state)
+        if mesh is not None:
+            # orbax restores onto device 0; sharded steps need the state
+            # replicated over the mesh (mixing committed placements errors)
+            state = jax.device_put(state, NamedSharding(mesh, P()))
         start_epoch = int(mgr.latest_step())
         log.info("resumed from epoch %d", start_epoch)
 
@@ -104,6 +130,7 @@ def train_fxencoder(
         ds = ContrastivePairDataset(
             data_dir,
             mode="train",
+            instruments=instruments,
             segment_length=tcfg.segment_length,
             num_strong_negatives=tcfg.num_strong_negatives,
             apply_prob_dict=probs,
@@ -112,16 +139,31 @@ def train_fxencoder(
         rng = np.random.default_rng(tcfg.seed + epoch)
         losses = []
 
-        def make_batch(step):
-            idxs = list(range(step * batch_items, (step + 1) * batch_items))
-            a, b = ds.sample_batch(idxs, epoch_seed=tcfg.seed + epoch)
-            return ds.collate_random_duration(a, b, rng)
+        if pipeline is not None:
+            pipeline.set_chains(ds.manipulators, ds.instruments, ds.pad)
+            K = tcfg.num_strong_negatives + 1
 
-        for ca, cb in BatchPrefetcher(make_batch, steps_per_epoch):
-            with timer.section("step"):
-                state, loss = step_fn(state, jnp.asarray(ca), jnp.asarray(cb))
-                losses.append(loss)  # device array: defer sync; prefetch thread
-                # keeps the next batch's WAV IO off the critical path
+            def make_batch(step):
+                idxs = list(range(step * batch_items, (step + 1) * batch_items))
+                segs, keys = ds.sample_raw_batch(idxs, epoch_seed=tcfg.seed + epoch)
+                la, lb, sa, sb = ds.collate_plan(len(idxs) * K, rng)
+                return segs, keys, sa, sb, la, lb
+
+            for segs, keys, sa, sb, la, lb in BatchPrefetcher(make_batch, steps_per_epoch):
+                with timer.section("step"):
+                    state, loss = pipeline.step(state, segs, keys, sa, sb, la, lb)
+                    losses.append(loss)  # device array: defer sync
+        else:
+            def make_batch(step):
+                idxs = list(range(step * batch_items, (step + 1) * batch_items))
+                a, b = ds.sample_batch(idxs, epoch_seed=tcfg.seed + epoch)
+                return ds.collate_random_duration(a, b, rng)
+
+            for ca, cb in BatchPrefetcher(make_batch, steps_per_epoch):
+                with timer.section("step"):
+                    state, loss = step_fn(state, jnp.asarray(ca), jnp.asarray(cb))
+                    losses.append(loss)  # device array: defer sync; prefetch thread
+                    # keeps the next batch's WAV IO off the critical path
         log.info(
             "epoch %d  probs=%s  loss=%.4f  (%s)",
             epoch,
@@ -159,14 +201,49 @@ def train_converter(
     use_mesh: bool = True,
     keep_ckpts: int = 2,
     resume: bool = True,
+    fused: bool = False,
+    instruments=("drums", "bass", "other", "vocals"),
 ):
-    """Converter training with a frozen pretrained encoder (SURVEY.md §3.5)."""
+    """Converter training with a frozen pretrained encoder (SURVEY.md §3.5).
+
+    ``fused=True``: FX manipulation runs inside the (single) jitted step —
+    the host ships raw int16 PCM + keys, nothing manipulated ever crosses
+    the link (train/fused.py; the converter's probabilities and segment
+    length are fixed, so one executable serves the whole run)."""
     tcfg = train_cfg or TrainConfig()
     enc_model = FXencoder(config=encoder_cfg or FXencoderConfig())
     conv, state, tx = init_converter(converter_cfg, tcfg, seed=tcfg.seed)
 
     mesh = create_mesh() if use_mesh and len(jax.devices()) > 1 else None
-    if mesh is not None:
+
+    mgr = CheckpointManager(os.path.join(out_dir, "ckpt_conv"), keep=keep_ckpts)
+    start_epoch = 0
+    if resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        if mesh is not None:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        start_epoch = int(mgr.latest_step())
+        log.info("resumed from epoch %d", start_epoch)
+
+    ds = StyleTransferTripletDataset(
+        data_dir,
+        mode="train",
+        instruments=instruments,
+        segment_length=tcfg.segment_length,
+        apply_prob_dict=dict(tcfg.apply_prob),  # converter keeps probs fixed
+        reverb_prob=dict(tcfg.reverb_prob),
+    )
+    if fused and mesh is not None:
+        step_fn = make_sharded_fused_converter_step(
+            conv, enc_model, tx, ds.manipulators, ds.instruments, ds.pad,
+            tcfg.segment_length, mesh, compute_dtype=tcfg.compute_dtype,
+        )
+    elif fused:
+        step_fn = jax.jit(make_fused_converter_step(
+            conv, enc_model, tx, ds.manipulators, ds.instruments, ds.pad,
+            tcfg.segment_length, compute_dtype=tcfg.compute_dtype,
+        ))
+    elif mesh is not None:
         step_fn = make_sharded_converter_step(
             conv, enc_model, tx, mesh, compute_dtype=tcfg.compute_dtype
         )
@@ -175,40 +252,39 @@ def train_converter(
             make_converter_train_step(conv, enc_model, tx, compute_dtype=tcfg.compute_dtype)
         )
 
-    mgr = CheckpointManager(os.path.join(out_dir, "ckpt_conv"), keep=keep_ckpts)
-    start_epoch = 0
-    if resume and mgr.latest_step() is not None:
-        state = mgr.restore(state)
-        start_epoch = int(mgr.latest_step())
-        log.info("resumed from epoch %d", start_epoch)
-
-    ds = StyleTransferTripletDataset(
-        data_dir,
-        mode="train",
-        segment_length=tcfg.segment_length,
-        apply_prob_dict=dict(tcfg.apply_prob),  # converter keeps probs fixed
-        reverb_prob=dict(tcfg.reverb_prob),
-    )
     timer = Timer()
     for epoch in range(start_epoch, epochs):
         losses = []
 
-        def make_batch(step):
-            idxs = list(range(step * batch_items, (step + 1) * batch_items))
-            batch = ds.sample_batch(idxs, epoch_seed=tcfg.seed + epoch)
-            # stack instruments into the batch axis
-            a1 = np.concatenate([batch[i]["a1"] for i in ds.instruments])
-            a2 = np.concatenate([batch[i]["a2"] for i in ds.instruments])
-            b2 = np.concatenate([batch[i]["b2"] for i in ds.instruments])
-            return a1, a2, b2
+        if fused:
+            def make_batch(step):
+                idxs = list(range(step * batch_items, (step + 1) * batch_items))
+                return ds.sample_raw_batch(idxs, epoch_seed=tcfg.seed + epoch)
 
-        for a1, a2, b2 in BatchPrefetcher(make_batch, steps_per_epoch):
-            with timer.section("step"):
-                state, loss = step_fn(
-                    state, encoder_variables,
-                    jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(b2),
-                )
-                losses.append(loss)  # defer sync (see contrastive loop)
+            for segs, keys in BatchPrefetcher(make_batch, steps_per_epoch):
+                with timer.section("step"):
+                    state, loss = step_fn(
+                        state, encoder_variables,
+                        jnp.asarray(segs), jnp.asarray(keys),
+                    )
+                    losses.append(loss)  # defer sync (see contrastive loop)
+        else:
+            def make_batch(step):
+                idxs = list(range(step * batch_items, (step + 1) * batch_items))
+                batch = ds.sample_batch(idxs, epoch_seed=tcfg.seed + epoch)
+                # stack instruments into the batch axis
+                a1 = np.concatenate([batch[i]["a1"] for i in ds.instruments])
+                a2 = np.concatenate([batch[i]["a2"] for i in ds.instruments])
+                b2 = np.concatenate([batch[i]["b2"] for i in ds.instruments])
+                return a1, a2, b2
+
+            for a1, a2, b2 in BatchPrefetcher(make_batch, steps_per_epoch):
+                with timer.section("step"):
+                    state, loss = step_fn(
+                        state, encoder_variables,
+                        jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(b2),
+                    )
+                    losses.append(loss)  # defer sync (see contrastive loop)
         log.info("epoch %d  loss=%.4f  (%s)", epoch, float(np.mean([float(l) for l in losses])), timer.summary())
         _log_metrics(
             out_dir,

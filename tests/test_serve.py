@@ -1,6 +1,7 @@
 """Serving-layer test: warm engine behind the HTTP API."""
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -116,3 +117,113 @@ def test_warmup_endpoint(server):
     assert out["cold_s"] > 0 and out["warm_s"] > 0
     # the cold pass pays the compiles; warm must not recompile
     assert out["warm_s"] <= out["cold_s"]
+
+
+def test_admission_queue_unit():
+    """Bounded admission semantics without HTTP: FIFO behind one chip slot,
+    reject past max_queue, warmup only when idle."""
+    from music_mixing_style_transfer_tpu.serve import (
+        AdmissionQueue,
+        QueueFullError,
+        ServiceBusyError,
+    )
+
+    q = AdmissionQueue(max_queue=1)
+    q.acquire()  # running
+    assert q.snapshot() == {"busy": True, "queue_depth": 0, "max_queue": 1}
+    with pytest.raises(ServiceBusyError):
+        q.acquire_if_idle()
+
+    waiter_in = threading.Event()
+    def waiter():
+        q.acquire()
+        waiter_in.set()
+        q.release()
+
+    t = threading.Thread(target=waiter, daemon=True)
+    t.start()
+    for _ in range(100):  # waiter has joined the queue (depth 1)
+        if q.snapshot()["queue_depth"] == 1:
+            break
+        import time; time.sleep(0.01)
+    assert q.snapshot()["queue_depth"] == 1
+    with pytest.raises(QueueFullError):
+        q.acquire()  # 1 running + 1 waiting == capacity
+    q.release()
+    assert waiter_in.wait(timeout=5)
+    t.join(timeout=5)
+    assert q.snapshot() == {"busy": False, "queue_depth": 0, "max_queue": 1}
+    q.acquire_if_idle()  # idle again: warmup admissible
+    q.release()
+
+
+def test_concurrent_transfers_and_health(server, tmp_path, rng):
+    """Two concurrent /transfer requests both succeed (one queues behind the
+    other) and /health reports the admission fields."""
+    target = tmp_path / "songs_cc"
+    for name in ["input", "reference"]:
+        for inst in ("drums", "bass", "other", "vocals"):
+            x = (rng.standard_normal((12_000, 2)) * 0.2).astype(np.float32)
+            write_wav(str(target / "s1" / "separated" / name / f"{inst}.wav"), x, SR)
+    results, errors = [], []
+
+    def run(i):
+        try:
+            results.append(
+                _post(
+                    server + "/transfer",
+                    {
+                        "target_dir": str(target) + "/",
+                        "output_dir": str(tmp_path / f"out_cc{i}") + "/",
+                    },
+                )
+            )
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors and len(results) == 2
+    assert all(len(r["written"]) == 1 for r in results)
+
+    with urllib.request.urlopen(server + "/health", timeout=60) as r:
+        h = json.loads(r.read())
+    assert h["busy"] is False and h["queue_depth"] == 0 and h["max_queue"] == 4
+
+
+def test_queue_full_and_warmup_busy(tmp_path, rng):
+    """With the chip slot held, /embed overflows a max_queue=0 service with
+    429 (+Retry-After) and /warmup declines with 409."""
+    engine = StyleTransferEngine(encoder_cfg=SMALL_ENC, converter_cfg=SMALL_TCN)
+    cfg = InferenceConfig(
+        segment_length=8192, segment_length_ref=8192,
+        normalize_input=False, do_not_separate=True,
+    )
+    service = StyleTransferService(engine, cfg, max_queue=0)
+    httpd = serve(service, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    wav = str(tmp_path / "q.wav")
+    write_wav(wav, (rng.standard_normal((20_000, 2)) * 0.2).astype(np.float32), SR)
+    try:
+        service.admission.acquire()  # simulate an in-flight request
+        try:
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(url + "/embed", {"wav": wav, "segment_length": 8192})
+            assert ei.value.code == 429
+            assert ei.value.headers.get("Retry-After") == "30"
+            assert json.loads(ei.value.read())["queue_depth"] == 0
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(url + "/warmup", {"seconds": 0.25})
+            assert ei.value.code == 409
+        finally:
+            service.admission.release()
+        # admitted again once the slot frees
+        out = _post(url + "/embed", {"wav": wav, "segment_length": 8192})
+        assert np.isfinite(np.asarray(out["embedding"])).all()
+    finally:
+        httpd.shutdown()
