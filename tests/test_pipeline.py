@@ -450,3 +450,39 @@ def test_run_directory_multi_song_pipelined(engine, tmp_path, rng):
         mix, rate = read_wav(path)
         assert rate == SR and mix.shape[0] == T
         assert np.isfinite(mix).all() and np.abs(mix).max() > 0
+
+
+def test_run_directory_unequal_stems_stay_on_fast_path(engine, tmp_path, rng, caplog):
+    """Stems of DIFFERENT lengths within one song take the device-resident
+    fast path (host-padded to the max stem length in _load_song_pcm, like
+    the reference tolerates arbitrary stem lengths, loader_utils.py:47-70)
+    instead of dropping to the 6.7x-slower per-stage host route."""
+    cfg = InferenceConfig(
+        segment_length=8192,
+        segment_length_ref=8192,
+        normalize_input=False,
+        do_not_separate=True,
+    )
+    target = tmp_path / "songs_uneq"
+    lengths = {"drums": 9_000, "bass": 12_000, "other": 11_000, "vocals": 7_500}
+    for name in ["input", "reference"]:
+        for inst in cfg.instruments:
+            T = lengths[inst] + (500 if name == "reference" else 0)
+            x = (rng.standard_normal((T, 2)) * 0.2).astype(np.float32)
+            path = target / "songU" / "separated" / name / f"{inst}.wav"
+            os.makedirs(path.parent, exist_ok=True)
+            write_wav(str(path), x, SR)
+
+    pipeline = MixingStyleTransfer(engine, cfg)
+    import logging
+
+    with caplog.at_level(logging.INFO):
+        written = pipeline.run_directory(str(target) + "/")
+    assert len(written) == 1
+    mix, rate = read_wav(written[0])
+    # output spans the longest input stem
+    assert rate == SR and mix.shape[0] == max(lengths.values())
+    assert np.isfinite(mix).all() and np.abs(mix).max() > 1e-5
+    msgs = " ".join(r.message for r in caplog.records)
+    assert "pcm fast path unavailable" not in msgs
+    assert "host path" not in msgs
