@@ -27,12 +27,33 @@ from .processors import rms_normalize
 
 
 class Stage:
-    """One chain entry: (processor-or-chain, apply probability, rms-normalize)."""
+    """One chain entry: (processor-or-chain, apply probability, rms-normalize).
 
-    def __init__(self, fx, prob: float = 1.0, rms_norm: bool = True):
+    ``prob_name``/``prob_scale`` make the stage's probability DYNAMIC: when
+    the chain is called with a ``probs`` dict containing ``prob_name``, the
+    gate uses ``probs[prob_name] * prob_scale`` as a *traced* scalar instead
+    of the baked ``prob`` constant. This is what lets probability scheduling
+    (the paper's "ps") run a whole training schedule through ONE compiled
+    executable — the 4-instrument augmentation program is ~67 MB and takes
+    minutes to compile, so re-tracing it per epoch (the torch-free analogue
+    of the reference rebuilding its processor lists per call) is not viable
+    on TPU. Bit-identical to the static path at equal values: the bernoulli
+    consumes the same uniform bits either way.
+    """
+
+    def __init__(
+        self,
+        fx,
+        prob: float = 1.0,
+        rms_norm: bool = True,
+        prob_name: Optional[str] = None,
+        prob_scale: float = 1.0,
+    ):
         self.fx = fx
         self.prob = float(prob)
         self.rms_norm = bool(rms_norm)
+        self.prob_name = prob_name
+        self.prob_scale = float(prob_scale)
 
     @property
     def is_chain(self) -> bool:
@@ -67,26 +88,40 @@ class AugmentationChain:
             )
 
     # ------------------------------------------------------------------
-    def _apply_stage(self, stage: Stage, key, x: jnp.ndarray) -> jnp.ndarray:
+    def _apply_stage(
+        self, stage: Stage, key, x: jnp.ndarray, probs=None
+    ) -> jnp.ndarray:
         k_gate, k_param = jax.random.split(key)
         if stage.is_chain:
-            wet = stage.fx(k_param, x)
+            wet = stage.fx(k_param, x, probs)
         else:
             params = stage.fx.sample(k_param)
             wet = jax.vmap(lambda xi: stage.fx.apply(params, xi))(x)
             if stage.rms_norm:
                 wet = jax.vmap(rms_normalize)(x, wet)
-        if stage.prob >= 1.0:
-            return wet
-        gate = jax.random.bernoulli(k_gate, stage.prob)
+        p_dyn = None
+        if probs is not None and stage.prob_name is not None:
+            if stage.prob_name in probs:
+                p_dyn = probs[stage.prob_name] * stage.prob_scale
+        if p_dyn is None:
+            if stage.prob >= 1.0:
+                return wet
+            gate = jax.random.bernoulli(k_gate, stage.prob)
+        else:
+            gate = jax.random.bernoulli(k_gate, jnp.clip(p_dyn, 0.0, 1.0))
         return jnp.where(gate, wet, x)
 
-    def _apply_ordered(self, order: Sequence[int], keys, x: jnp.ndarray) -> jnp.ndarray:
+    def _apply_ordered(
+        self, order: Sequence[int], keys, x: jnp.ndarray, probs=None
+    ) -> jnp.ndarray:
         for i in order:
-            x = self._apply_stage(self.stages[i], keys[i], x)
+            x = self._apply_stage(self.stages[i], keys[i], x, probs)
         return x
 
-    def __call__(self, key, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, key, x: jnp.ndarray, probs=None) -> jnp.ndarray:
+        """Apply the chain. ``probs`` (optional): dict of DYNAMIC apply
+        probabilities for named stages (see :class:`Stage`); traced values,
+        so one jit serves every probability-schedule point."""
         n = len(self.stages)
         k_perm, k_par, *stage_keys = jax.random.split(key, n + 2)
 
@@ -96,12 +131,12 @@ class AugmentationChain:
             y = jax.lax.switch(
                 idx,
                 [
-                    (lambda p: (lambda: self._apply_ordered(p, stage_keys, x)))(perm)
+                    (lambda p: (lambda: self._apply_ordered(p, stage_keys, x, probs)))(perm)
                     for perm in perms
                 ],
             )
         else:
-            y = self._apply_ordered(range(n), stage_keys, x)
+            y = self._apply_ordered(range(n), stage_keys, x, probs)
 
         if self.parallel:
             if self.parallel_weight_factor is not None:

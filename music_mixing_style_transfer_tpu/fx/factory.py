@@ -85,13 +85,20 @@ def create_effects_augmentation_chain(
     processor instance, or nested chain (reference ``audio_effects_chain.py:17-95``)."""
     stages = []
     for fx in effects:
-        prob = 1.0
+        prob, prob_name, prob_scale = 1.0, None, 1.0
         if isinstance(fx, tuple):
-            fx, prob = fx
+            if len(fx) == 2:
+                fx, prob = fx
+            else:
+                # (fx, prob, prob_name[, prob_scale]) — the stage's gate can
+                # then be DRIVEN at call time via the chain's `probs` dict
+                # (probability scheduling without re-tracing, chain.py Stage)
+                fx, prob, prob_name, *rest = fx
+                prob_scale = rest[0] if rest else 1.0
         if isinstance(fx, str):
             fx = _make_processor(fx, sample_rate, ir_bank)
         rms_norm = not (isinstance(fx, AugmentationChain) or getattr(fx, "name", "") == "gain")
-        stages.append(Stage(fx, prob, rms_norm))
+        stages.append(Stage(fx, prob, rms_norm, prob_name, prob_scale))
     return AugmentationChain(
         stages, shuffle=shuffle, parallel=parallel,
         parallel_weight_factor=parallel_weight_factor,
@@ -115,11 +122,11 @@ def create_inst_effects_augmentation_chain(
     reverb_name = "algorithmic" if algorithmic else "reverb"
 
     eq_comp = create_effects_augmentation_chain(
-        [("eq", p["eq"]), ("comp", p["comp"])],
+        [("eq", p["eq"], "eq"), ("comp", p["comp"], "comp")],
         ir_bank=ir_bank, sample_rate=sample_rate, shuffle=True,
     )
     pan_image = create_effects_augmentation_chain(
-        [("pan", p["pan"]), ("imager", p["imager"])],
+        [("pan", p["pan"], "pan"), ("imager", p["imager"], "imager")],
         ir_bank=ir_bank, sample_rate=sample_rate, shuffle=True,
     )
 
@@ -130,7 +137,7 @@ def create_inst_effects_augmentation_chain(
             fixed_params={"high_shelf_gain": -50.0, "high_shelf_freq": 100.0},
         )
         reverb_low = create_effects_augmentation_chain(
-            [low_pass_eq, (reverb_name, p["reverb"] * 0.01)],
+            [low_pass_eq, (reverb_name, p["reverb"] * 0.01, "reverb", 0.01)],
             ir_bank=ir_bank, sample_rate=sample_rate,
             parallel=True, parallel_weight_factor=0.8,
         )
@@ -140,7 +147,7 @@ def create_inst_effects_augmentation_chain(
             fixed_params={"low_shelf_gain": -50.0, "low_shelf_freq": 100.0},
         )
         reverb_high = create_effects_augmentation_chain(
-            [high_pass_eq, (reverb_name, p["reverb"])],
+            [high_pass_eq, (reverb_name, p["reverb"], "reverb")],
             ir_bank=ir_bank, sample_rate=sample_rate,
             parallel=True, parallel_weight_factor=0.6,
         )
@@ -149,12 +156,12 @@ def create_inst_effects_augmentation_chain(
         )
     else:
         reverb_stage = create_effects_augmentation_chain(
-            [(reverb_name, p["reverb"])],
+            [(reverb_name, p["reverb"], "reverb")],
             ir_bank=ir_bank, sample_rate=sample_rate, parallel=True,
         )
 
     return create_effects_augmentation_chain(
-        [eq_comp, pan_image, reverb_stage, ("gain", p["gain"])],
+        [eq_comp, pan_image, reverb_stage, ("gain", p["gain"], "gain")],
         ir_bank=ir_bank, sample_rate=sample_rate,
     )
 

@@ -43,6 +43,11 @@ def main(argv=None) -> int:
                    help="(step) steps between decays")
     p.add_argument("--lr_gamma", type=float, default=0.5,
                    help="(step) decay factor")
+    p.add_argument("--collate_quantum", type=int, default=None,
+                   help="(fxencoder) random-duration collate bucket size; "
+                        "each distinct (la, lb) bucket pair is one train-step "
+                        "compile — coarsen (e.g. segment_length//4) on "
+                        "slow-compile rigs")
     p.add_argument("--num_strong_negatives", type=int, default=1)
     p.add_argument("--temperature", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
@@ -97,6 +102,7 @@ def main(argv=None) -> int:
             prob_schedule_target=target,
             use_mesh=not args.no_mesh,
             fused=args.fused,
+            collate_quantum=args.collate_quantum,
         )
     else:
         if args.encoder_ckpt is None:

@@ -70,20 +70,27 @@ def augment_contrastive_views(
     segs: jnp.ndarray,   # [n_inst, items, 2(content A/B), 2(ch), L_load]
     keys: jnp.ndarray,   # [n_inst, items, K, 2] uint32
     pad: int,
+    probs=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """On-device reproduction of ``ContrastivePairDataset.sample_batch``:
     per (item, k) one FX draw applied to BOTH content segments (the
     contrastive positive pair), pad trimmed, clipped. Returns full-length
     views ``([n_inst, items*K, 2, L], [same])`` ready for :func:`crop_views`.
+
+    ``probs``: optional dict of DYNAMIC apply probabilities (the scheduled
+    keys eq/comp/pan/imager/gain — NOT the per-instrument reverb, which
+    stays a per-chain constant); traced, so every point of a probability
+    schedule rides one executable (fx/chain.py Stage).
     """
     x = _dequant(segs)
     batch_a, batch_b = [], []
     for i, inst in enumerate(instruments):
         chain = manipulators[inst]
         # vmap over K draws (inner, content pair broadcast), then over items
-        man = jax.vmap(jax.vmap(chain, in_axes=(0, None)), in_axes=(0, 0))(
-            keys[i], x[i]
-        )  # [items, K, 2, 2, L_load]
+        man = jax.vmap(
+            jax.vmap(lambda k, xi: chain(k, xi, probs), in_axes=(0, None)),
+            in_axes=(0, 0),
+        )(keys[i], x[i])  # [items, K, 2, 2, L_load]
         if pad:
             man = man[..., pad:-pad]
         man = jnp.clip(man, -1.0, 1.0)
@@ -118,7 +125,8 @@ class FusedContrastivePipeline:
         self.temperature = temperature
         self.mesh, self.axis = mesh, axis
         self.compute_dtype = compute_dtype
-        self._augment = None
+        self._chains = None
+        self._augment: Dict[bool, Callable] = {}
         self._steps: Dict[Tuple[int, int], Callable] = {}
 
     def set_chains(
@@ -127,22 +135,44 @@ class FusedContrastivePipeline:
         instruments: Sequence[str],
         pad: int,
     ) -> None:
-        def aug(segs, keys):
-            return augment_contrastive_views(
-                manipulators, instruments, segs, keys, pad
-            )
+        """Bind the FX chains. With probability scheduling, call this ONCE
+        and pass the per-epoch ``probs`` to :meth:`step` instead — the
+        4-instrument augmentation program takes minutes to compile, and
+        dynamic probs let the whole schedule reuse one executable."""
+        self._chains = (manipulators, tuple(instruments), pad)
+        self._augment = {}
+
+    def _get_augment(self, dynamic: bool):
+        fn = self._augment.get(dynamic)
+        if fn is not None:
+            return fn
+        manipulators, instruments, pad = self._chains
+
+        if dynamic:
+            def aug(segs, keys, probs):
+                return augment_contrastive_views(
+                    manipulators, instruments, segs, keys, pad, probs
+                )
+            in_specs = (P(None, self.axis), P(None, self.axis), P())
+        else:
+            def aug(segs, keys):
+                return augment_contrastive_views(
+                    manipulators, instruments, segs, keys, pad
+                )
+            in_specs = (P(None, self.axis), P(None, self.axis))
 
         if self.mesh is not None:
             aug = jax.shard_map(
                 aug,
                 mesh=self.mesh,
-                in_specs=(P(None, self.axis), P(None, self.axis)),
+                in_specs=in_specs,
                 out_specs=(P(None, self.axis), P(None, self.axis)),
                 # per-item parallel, no collectives; the FX chains' scans
                 # (compressor envelope) trip the vma check spuriously
                 check_vma=False,
             )
-        self._augment = jax.jit(aug)
+        fn = self._augment[dynamic] = jax.jit(aug)
+        return fn
 
     def _build_step(self, la: int, lb: int) -> Callable:
         inner = make_contrastive_train_step(
@@ -174,9 +204,13 @@ class FusedContrastivePipeline:
         return jax.jit(step)
 
     def step(
-        self, state: TrainState, segs, keys, sa, sb, la: int, lb: int
+        self, state: TrainState, segs, keys, sa, sb, la: int, lb: int,
+        probs: Optional[Dict[str, float]] = None,
     ) -> Tuple[TrainState, jnp.ndarray]:
-        if self._augment is None:
+        """One training step. ``probs``: optional scheduled apply
+        probabilities ({eq, comp, pan, imager, gain}) fed as traced scalars;
+        omit for the chains\' baked constants."""
+        if self._chains is None:
             raise RuntimeError("call set_chains() before step()")
         if self.mesh is not None:
             n = self.mesh.devices.size
@@ -185,7 +219,15 @@ class FusedContrastivePipeline:
                     f"mesh size {n} must divide both batch items "
                     f"({segs.shape[1]}) and items*K ({len(sa)})"
                 )
-        a_full, b_full = self._augment(jnp.asarray(segs), jnp.asarray(keys))
+        if probs is not None:
+            a_full, b_full = self._get_augment(True)(
+                jnp.asarray(segs), jnp.asarray(keys),
+                {k: jnp.float32(v) for k, v in probs.items()},
+            )
+        else:
+            a_full, b_full = self._get_augment(False)(
+                jnp.asarray(segs), jnp.asarray(keys)
+            )
         fn = self._steps.get((la, lb))
         if fn is None:
             fn = self._steps[(la, lb)] = self._build_step(la, lb)

@@ -76,8 +76,15 @@ def train_fxencoder(
     resume: bool = True,
     fused: bool = False,
     instruments=("drums", "bass", "other", "vocals"),
+    collate_quantum: int = None,
 ):
     """Contrastive FXencoder training (SURVEY.md §3.4 step semantics).
+
+    ``collate_quantum``: bucket size for the random-duration collate
+    (default ``max(4096, L//8)`` -> up to ~16 (la, lb) shape pairs). Each
+    new pair is one XLA compile of the full train step — minutes over the
+    remote-compile tunnel — so slow-compile rigs can coarsen it (e.g.
+    ``L//4`` -> 4 pairs) without touching crop-start randomness.
 
     ``fused=True`` routes augmentation through the device-resident
     :class:`FusedContrastivePipeline` (train/fused.py): the host ships raw
@@ -140,24 +147,31 @@ def train_fxencoder(
         losses = []
 
         if pipeline is not None:
-            pipeline.set_chains(ds.manipulators, ds.instruments, ds.pad)
+            if pipeline._chains is None:
+                # bind once: scheduled probabilities ride the SAME compiled
+                # augmentation executable as traced scalars (fx/chain.py) —
+                # per-epoch re-jits would cost minutes of compile each
+                pipeline.set_chains(ds.manipulators, ds.instruments, ds.pad)
+            dyn_probs = dict(probs) if prob_schedule_target else None
             K = tcfg.num_strong_negatives + 1
 
             def make_batch(step):
                 idxs = list(range(step * batch_items, (step + 1) * batch_items))
                 segs, keys = ds.sample_raw_batch(idxs, epoch_seed=tcfg.seed + epoch)
-                la, lb, sa, sb = ds.collate_plan(len(idxs) * K, rng)
+                la, lb, sa, sb = ds.collate_plan(len(idxs) * K, rng, collate_quantum)
                 return segs, keys, sa, sb, la, lb
 
             for segs, keys, sa, sb, la, lb in BatchPrefetcher(make_batch, steps_per_epoch):
                 with timer.section("step"):
-                    state, loss = pipeline.step(state, segs, keys, sa, sb, la, lb)
+                    state, loss = pipeline.step(
+                        state, segs, keys, sa, sb, la, lb, probs=dyn_probs
+                    )
                     losses.append(loss)  # device array: defer sync
         else:
             def make_batch(step):
                 idxs = list(range(step * batch_items, (step + 1) * batch_items))
                 a, b = ds.sample_batch(idxs, epoch_seed=tcfg.seed + epoch)
-                return ds.collate_random_duration(a, b, rng)
+                return ds.collate_random_duration(a, b, rng, collate_quantum)
 
             for ca, cb in BatchPrefetcher(make_batch, steps_per_epoch):
                 with timer.section("step"):

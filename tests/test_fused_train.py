@@ -247,3 +247,32 @@ def test_fused_converter_matches_legacy(musdb_dir):
     segs4, keys4 = ds.sample_raw_batch(list(range(4)), epoch_seed=seed)
     s3, loss3 = sharded(state, enc_vars, jnp.asarray(segs4), jnp.asarray(keys4))
     assert np.isfinite(float(loss3))
+
+
+def test_fused_pipeline_dynamic_probs_match_rebuilt_chains(musdb_dir):
+    """pipeline.step(probs=scheduled) == a pipeline whose chains were REBUILT
+    at those probabilities — the loop's probability scheduling reuses one
+    executable instead of re-jitting the augmentation each epoch."""
+    sched = {"eq": 0.5, "comp": 0.5, "pan": 0.3, "imager": 0.8, "gain": 0.5}
+    ds_base = _contrastive_ds(musdb_dir)
+    ds_sched = _contrastive_ds(musdb_dir, apply_prob_dict=sched)
+    idxs, seed = [0, 1], 13
+
+    enc, state, _ = init_contrastive(SMALL_ENC, example_length=SEG)
+    tx = optax.sgd(0.05)
+    state = create_train_state(state.variables(), tx)
+
+    segs, keys = ds_base.sample_raw_batch(idxs, epoch_seed=seed)
+    la, lb, sa, sb = ds_base.collate_plan(4, np.random.default_rng(2))
+
+    dyn = FusedContrastivePipeline(enc, tx, 0.1)
+    dyn.set_chains(ds_base.manipulators, ds_base.instruments, ds_base.pad)
+    s1, loss1 = dyn.step(state, segs, keys, sa, sb, la, lb, probs=sched)
+
+    baked = FusedContrastivePipeline(enc, tx, 0.1)
+    baked.set_chains(ds_sched.manipulators, ds_sched.instruments, ds_sched.pad)
+    s2, loss2 = baked.step(state, segs, keys, sa, sb, la, lb)
+
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-6)
+    for p1, p2 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)

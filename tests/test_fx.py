@@ -253,3 +253,34 @@ def test_prep_fades_and_trim(rng):
     assert fo[0, 0] == 1.0 and fo[0, -1] < 0.05
     t = random_trim(np.arange(10, dtype=np.float32), 25, np.random.default_rng(0))
     assert t.shape == (25,)  # wraparound for short inputs
+
+
+def test_chain_dynamic_probs_match_static():
+    """A chain called with a `probs` dict equals a chain REBUILT with those
+    probabilities baked in — bit-identical (the bernoulli gates consume the
+    same uniform bits either way). This is what lets probability scheduling
+    reuse one compiled executable (fx/chain.py Stage.prob_name)."""
+    import jax
+    import jax.numpy as jnp
+
+    from music_mixing_style_transfer_tpu.fx import make_instrument_manipulators
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 2, 8192)).astype(np.float32) * 0.2)
+    key = jax.random.PRNGKey(11)
+    sched = {"eq": 0.55, "comp": 0.35, "pan": 0.8, "imager": 0.15, "gain": 0.95}
+
+    for inst in ("drums", "vocals"):  # drums has the scaled dual-band reverb
+        base = make_instrument_manipulators((inst,))[inst]
+        baked = make_instrument_manipulators((inst,), apply_prob_dict=sched)[inst]
+        y_dyn = jax.jit(lambda k, v, p: base(k, v, p))(
+            key, x, {k: jnp.float32(v) for k, v in sched.items()}
+        )
+        y_baked = jax.jit(lambda k, v: baked(k, v))(key, x)
+        np.testing.assert_array_equal(np.asarray(y_dyn), np.asarray(y_baked))
+        # and a DIFFERENT schedule point through the same dynamic callable
+        # actually changes the output (the gates are live, not baked)
+        y_dyn2 = jax.jit(lambda k, v, p: base(k, v, p))(
+            key, x, {k: jnp.float32(0.0) for k in sched}
+        )
+        assert not np.array_equal(np.asarray(y_dyn), np.asarray(y_dyn2))
