@@ -10,10 +10,43 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from ..config import TrainConfig
 from .loop import train_converter, train_fxencoder
+
+_RETRY_ENV = "MST_TRAIN_RETRY"  # attempts consumed so far (re-exec counter)
+
+
+def _maybe_reexec_on_transient(exc: Exception, max_retries: int) -> None:
+    """Re-exec the training process on *transient* backend failures.
+
+    On shared/preempted TPU fleets the runtime can die mid-run with an
+    INTERNAL error (compile-service connection dropped, backend preempted);
+    the in-process JAX client is not trustworthy after that, so recovery is
+    a fresh process — ``train_fxencoder``/``train_converter`` resume from
+    the latest orbax checkpoint, losing at most the in-flight epoch
+    (SURVEY.md §5.3; resume semantics tests/test_train_loop.py). Anything
+    that isn't an infrastructure error re-raises: a genuine NaN/shape bug
+    must fail loudly, not loop."""
+    msg = str(exc)
+    transient = type(exc).__name__ == "JaxRuntimeError" and (
+        "INTERNAL" in msg or "UNAVAILABLE" in msg or "remote_compile" in msg
+    )
+    if not transient:
+        raise exc
+    used = int(os.environ.get(_RETRY_ENV, "0"))
+    if used >= max_retries:
+        raise exc
+    os.environ[_RETRY_ENV] = str(used + 1)
+    sys.stderr.write(
+        f"[train.cli] transient backend failure (attempt {used + 1}/"
+        f"{max_retries}): {msg.splitlines()[0]}\n[train.cli] re-exec + "
+        "checkpoint resume\n"
+    )
+    sys.stderr.flush()
+    os.execv(sys.executable, [sys.executable, "-m", __spec__.name] + sys.argv[1:])
 
 
 def main(argv=None) -> int:
@@ -67,7 +100,17 @@ def main(argv=None) -> int:
                    help="(converter) orbax dir or torch .pt of the frozen encoder")
     p.add_argument("--prob_schedule", type=str, default=None,
                    help="(fxencoder) target probs, e.g. 'eq=0.5,comp=0.5'")
+    p.add_argument("--retries", type=int, default=0,
+                   help="re-exec + checkpoint-resume this many times on "
+                        "TRANSIENT backend failures (INTERNAL/UNAVAILABLE: "
+                        "compile-service drop, preemption); real training "
+                        "errors still fail immediately")
     args = p.parse_args(argv)
+
+    # fail fast: a missing corpus must not cost a full-size model compile
+    # (dataset discovery otherwise runs only after init_contrastive)
+    if not os.path.isdir(args.data_dir):
+        p.error(f"--data_dir {args.data_dir}: not a directory")
 
     tcfg = TrainConfig(
         segment_length=args.segment_length,
@@ -85,42 +128,46 @@ def main(argv=None) -> int:
         remat=args.remat,
     )
 
-    if args.model == "fxencoder":
-        target = None
-        if args.prob_schedule:
-            target = dict(
-                (k, float(v)) for k, v in
-                (kv.split("=") for kv in args.prob_schedule.split(","))
+    try:
+        if args.model == "fxencoder":
+            target = None
+            if args.prob_schedule:
+                target = dict(
+                    (k, float(v)) for k, v in
+                    (kv.split("=") for kv in args.prob_schedule.split(","))
+                )
+            train_fxencoder(
+                args.data_dir,
+                args.out_dir,
+                train_cfg=tcfg,
+                epochs=args.epochs,
+                steps_per_epoch=args.steps_per_epoch,
+                batch_items=args.batch_items,
+                prob_schedule_target=target,
+                use_mesh=not args.no_mesh,
+                fused=args.fused,
+                collate_quantum=args.collate_quantum,
             )
-        train_fxencoder(
-            args.data_dir,
-            args.out_dir,
-            train_cfg=tcfg,
-            epochs=args.epochs,
-            steps_per_epoch=args.steps_per_epoch,
-            batch_items=args.batch_items,
-            prob_schedule_target=target,
-            use_mesh=not args.no_mesh,
-            fused=args.fused,
-            collate_quantum=args.collate_quantum,
-        )
-    else:
-        if args.encoder_ckpt is None:
-            p.error("converter training requires --encoder_ckpt")
-        from ..models.checkpoints import load_model_variables
+        else:
+            if args.encoder_ckpt is None:
+                p.error("converter training requires --encoder_ckpt")
+            from ..models.checkpoints import load_model_variables
 
-        enc_vars = load_model_variables(args.encoder_ckpt, "fxencoder")
-        train_converter(
-            args.data_dir,
-            args.out_dir,
-            enc_vars,
-            train_cfg=tcfg,
-            epochs=args.epochs,
-            steps_per_epoch=args.steps_per_epoch,
-            batch_items=args.batch_items,
-            use_mesh=not args.no_mesh,
-            fused=args.fused,
-        )
+            enc_vars = load_model_variables(args.encoder_ckpt, "fxencoder")
+            train_converter(
+                args.data_dir,
+                args.out_dir,
+                enc_vars,
+                train_cfg=tcfg,
+                epochs=args.epochs,
+                steps_per_epoch=args.steps_per_epoch,
+                batch_items=args.batch_items,
+                use_mesh=not args.no_mesh,
+                fused=args.fused,
+            )
+    except Exception as e:  # noqa: BLE001 — filtered in the handler
+        _maybe_reexec_on_transient(e, args.retries)
+        raise
     return 0
 
 

@@ -166,3 +166,30 @@ def test_batch_prefetcher_order_and_errors():
         for v in BatchPrefetcher(boom, 5):
             got.append(v)
     assert got == [0, 1]
+
+
+def test_transient_retry_classifier(monkeypatch):
+    """train.cli re-execs ONLY on transient backend failures, bounded by the
+    retry budget; real errors re-raise immediately (SURVEY.md §5.3)."""
+    from jax.errors import JaxRuntimeError
+
+    from music_mixing_style_transfer_tpu.train import cli
+
+    calls = []
+    monkeypatch.setattr(cli.os, "execv", lambda *a: calls.append(a))
+    monkeypatch.delenv(cli._RETRY_ENV, raising=False)
+
+    # non-transient: re-raise untouched, no exec
+    with pytest.raises(ValueError):
+        cli._maybe_reexec_on_transient(ValueError("NaN loss"), max_retries=3)
+    # transient JaxRuntimeError within budget: re-exec (counter advances)
+    err = JaxRuntimeError("INTERNAL: remote_compile: connection dropped")
+    cli._maybe_reexec_on_transient(err, max_retries=2)
+    assert len(calls) == 1 and os.environ[cli._RETRY_ENV] == "1"
+    cli._maybe_reexec_on_transient(err, max_retries=2)
+    assert len(calls) == 2 and os.environ[cli._RETRY_ENV] == "2"
+    # budget exhausted: the transient error finally surfaces
+    with pytest.raises(JaxRuntimeError):
+        cli._maybe_reexec_on_transient(err, max_retries=2)
+    assert len(calls) == 2
+    monkeypatch.delenv(cli._RETRY_ENV, raising=False)
