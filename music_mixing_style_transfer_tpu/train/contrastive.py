@@ -280,8 +280,12 @@ def init_contrastive(
     encoder = FXencoder(
         config=cfg, train=True, channels_last=False, remat=tcfg.remat
     )
-    variables = encoder.init(
-        jax.random.PRNGKey(seed), jnp.zeros((2, cfg.in_channels, example_length))
+    # host-side init: module.init would jit a giant RNG program (minutes on
+    # remote-compile rigs) just to draw fresh weights (models/fast_init.py)
+    from ..models.fast_init import fast_init
+
+    variables = fast_init(
+        encoder, jnp.zeros((2, cfg.in_channels, example_length)), seed=seed
     )
     tx = make_optimizer(
         tcfg.learning_rate, tcfg.weight_decay, schedule=make_lr_schedule(tcfg)

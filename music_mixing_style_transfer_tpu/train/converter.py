@@ -151,10 +151,14 @@ def init_converter(
     converter = MixFXcloner(
         config=cfg, train=True, channels_last=False, remat=tcfg.remat
     )
-    variables = converter.init(
-        jax.random.PRNGKey(seed),
+    # host-side init, not a jitted init program (models/fast_init.py)
+    from ..models.fast_init import fast_init
+
+    variables = fast_init(
+        converter,
         jnp.zeros((2, cfg.ninputs, example_length)),
         jnp.zeros((2, cfg.condition_dimension)),
+        seed=seed,
     )
     tx = make_optimizer(
         tcfg.learning_rate, tcfg.weight_decay, schedule=make_lr_schedule(tcfg)
