@@ -18,11 +18,18 @@ Two measurements (reference ``style_transfer.py:112-177`` semantics):
 3. **feature-extraction RTF** — the ``feature_extraction`` CLI hot path
    (segment + encode + mean embedding).
 
+Also covers the remaining BASELINE.json configs: two-reference latent
+interpolation (``interp_rtf``), batched FXmanipulator augmentation
+throughput (``augment_audio_s_per_s``), and full-size training-step
+throughput for both models (``train_*_audio_s_per_s``).
+
 Prints ONE JSON line; ``value`` stays the headline bf16 model RTF
 (driver contract), with the honest numbers alongside:
   {"metric": "style_transfer_rtf", "value": ..., "unit": "x_realtime",
    "vs_baseline": value/50, "model_rtf_f32": ..., "e2e_rtf": ...,
-   "e2e_host_rtf": ..., "feature_rtf": ...}
+   "e2e_host_rtf": ..., "feature_rtf": ..., "interp_rtf": ...,
+   "augment_audio_s_per_s": ..., "train_contrastive_audio_s_per_s": ...,
+   "train_converter_audio_s_per_s": ...}
 (baseline: the north-star RTF >= 50x from BASELINE.md.)
 """
 from __future__ import annotations
@@ -196,6 +203,135 @@ def _ensure(d: str) -> str:
     return d
 
 
+def interp_rtf(args) -> float:
+    """Two-reference latent-interpolation style transfer, end to end
+    (BASELINE.json config 3; reference ``--interpolation`` mode,
+    ``inference/style_transfer.py:214-252``): N latent chunks blended
+    between reference A and reference B embeddings, through the same
+    production ``run_directory`` path as ``e2e_rtf``."""
+    import dataclasses
+
+    from music_mixing_style_transfer_tpu.config import InferenceConfig, NormalizationConfig
+    from music_mixing_style_transfer_tpu.data.wavio import read_wav_stereo_ct
+    from music_mixing_style_transfer_tpu.infer.pipeline import (
+        MixingStyleTransfer,
+        StyleTransferEngine,
+    )
+    from music_mixing_style_transfer_tpu.normalize import AudioEffectsNormalizer
+
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "music_mixing_style_transfer_tpu", "weights")
+    tmp = "/tmp/bench_interp"
+    for si in range(2):
+        song = os.path.join(tmp, "songs", f"song{si}", "separated", "mdx_extra")
+        _tiled_song_stems(
+            f"{SAMPLES}/style_transfer/#0/separated/mdx_extra/input",
+            args.seconds, _ensure(os.path.join(song, "input")), "input",
+        )
+        _tiled_song_stems(
+            f"{SAMPLES}/interpolation/#0/separated/mdx_extra/reference",
+            args.seconds, _ensure(os.path.join(song, "reference")), "reference",
+        )
+        _tiled_song_stems(
+            f"{SAMPLES}/interpolation/#0/separated/mdx_extra/reference_B",
+            args.seconds, _ensure(os.path.join(song, "reference_B")), "reference_B",
+        )
+
+    normalizer = AudioEffectsNormalizer(
+        os.path.join(here, "musdb18_fxfeatures_eqcompimagegain.npy"),
+        NormalizationConfig(),
+    )
+    engine = StyleTransferEngine(dtype=args.dtype)
+    cfg = InferenceConfig(batch_size=args.batch, dtype=args.dtype, interpolation=True)
+    pipeline = MixingStyleTransfer(engine, cfg, normalizer=normalizer)
+
+    def run():
+        t0 = time.perf_counter()
+        written = pipeline.run_directory(
+            os.path.join(tmp, "songs"), os.path.join(tmp, "out")
+        )
+        dt = time.perf_counter() - t0
+        assert len(written) == 2
+        for w in written:
+            y = read_wav_stereo_ct(w)
+            assert np.isfinite(y).all() and np.abs(y).max() > 1e-4
+        return dt
+
+    run()  # compile + warmup
+    return 2 * args.seconds / run()
+
+
+def augment_rtf(args) -> float:
+    """Batched FX-manipulation augmentation throughput (BASELINE.json
+    config 4): the full per-instrument FXmanipulator chains (EQ, comp,
+    pan, imager, gain, reverb sends — reference
+    ``audio_effects_chain.py:99-164``) applied on device at contrastive
+    training batch shapes. Returns manipulated audio-seconds per second."""
+    import jax
+    import jax.numpy as jnp
+
+    from music_mixing_style_transfer_tpu.data.datasets import PAD_B4_MANIPULATION
+    from music_mixing_style_transfer_tpu.fx import make_instrument_manipulators
+    from music_mixing_style_transfer_tpu.train.fused import augment_contrastive_views
+
+    insts = ("drums", "bass", "other", "vocals")
+    manipulators = make_instrument_manipulators(insts)
+    pad = PAD_B4_MANIPULATION
+    L = 2**17
+    load_len = L + 2 * pad
+    items, K = 4, 2  # batch_items x (1 + strong negatives), train defaults
+
+    rng = np.random.default_rng(0)
+    segs = jnp.asarray(
+        (rng.standard_normal((len(insts), items, 2, 2, load_len)) * 3000).astype(
+            np.int16
+        )
+    )
+    keys = jnp.asarray(
+        rng.integers(0, 2**32, size=(len(insts), items, K, 2), dtype=np.uint32)
+    )
+
+    fn = jax.jit(
+        lambda s, k: augment_contrastive_views(manipulators, insts, s, k, pad)
+    )
+    a, b = fn(segs, keys)  # compile
+    assert bool(jnp.isfinite(a).all() & jnp.isfinite(b).all())
+
+    iters = max(2, args.iters // 2)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        a, b = fn(segs, keys)
+    _ = float(jnp.sum(a[..., :8]) + jnp.sum(b[..., :8]))  # one sync
+    dt = (time.perf_counter() - t0) / iters
+    # each (item, k) FX draw manipulates BOTH content segments at load_len
+    return len(insts) * items * K * 2 * load_len / SR / dt
+
+
+def train_step_throughput(args) -> dict:
+    """Production train-step throughput (BASELINE.json config 5) — the
+    same measurements as ``tools/train_bench.py`` at full model size,
+    reported as training audio-seconds per second."""
+    import argparse as _ap
+
+    from music_mixing_style_transfer_tpu.tools.train_bench import (
+        bench_contrastive,
+        bench_converter,
+    )
+
+    ta = _ap.Namespace(
+        steps=max(3, args.iters // 2), batch=4, length=2**17,
+        dtype=args.dtype, remat=False, tiny=False,
+    )
+    c = bench_contrastive(ta)
+    v = bench_converter(ta)
+    return {
+        "train_contrastive_audio_s_per_s": c["contrastive_audio_s_per_s"],
+        "train_contrastive_step_s": c["contrastive_step_s"],
+        "train_converter_audio_s_per_s": v["converter_audio_s_per_s"],
+        "train_converter_step_s": v["converter_step_s"],
+    }
+
+
 def feature_rtf(args) -> float:
     """Feature-extraction CLI hot path: segment + encode + mean embedding."""
     from music_mixing_style_transfer_tpu.data.wavio import read_wav_stereo_ct_i16
@@ -222,6 +358,9 @@ def main() -> int:
     p.add_argument("--skip_e2e", action="store_true")
     p.add_argument("--skip_e2e_host", action="store_true",
                    help="skip the (slow) per-stage host-path e2e comparison")
+    p.add_argument("--skip_extras", action="store_true",
+                   help="skip interpolation / augmentation / train-step "
+                        "configs (BASELINE.json configs 3-5)")
     args = p.parse_args()
 
     from music_mixing_style_transfer_tpu.utils.cache import enable_compile_cache
@@ -236,6 +375,11 @@ def main() -> int:
         e2e = e2e_rtf(args)
         extra.update({k: round(v, 1) for k, v in e2e.items()})
         extra["feature_rtf"] = round(feature_rtf(args), 1)
+        if not args.skip_extras:
+            extra["interp_rtf"] = round(interp_rtf(args), 1)
+    if not args.skip_extras:
+        extra["augment_audio_s_per_s"] = round(augment_rtf(args), 1)
+        extra.update(train_step_throughput(args))
 
     print(
         json.dumps(
