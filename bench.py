@@ -31,6 +31,12 @@ Prints ONE JSON line; ``value`` stays the headline bf16 model RTF
    "augment_audio_s_per_s": ..., "train_contrastive_audio_s_per_s": ...,
    "train_converter_audio_s_per_s": ...}
 (baseline: the north-star RTF >= 50x from BASELINE.md.)
+
+The e2e/feature/interp configs run ``--repeats`` (default 3) timed passes
+each; the JSON value is the MEDIAN and a ``<key>_spread`` field carries
+``[min, max]`` — the serving tunnel's run-to-run variance is real (single
+shots drifted e2e 13.4->12.1, feature 204->151 between rounds with no code
+cause), so a single sample cannot distinguish regression from weather.
 """
 from __future__ import annotations
 
@@ -194,7 +200,9 @@ def e2e_rtf(args) -> dict:
             return dt
 
         run()  # compile + cache warmup (all shapes identical on 2nd run)
-        out[key] = 2 * args.seconds / run()
+        vals = [2 * args.seconds / run() for _ in range(args.repeats)]
+        out[key] = float(np.median(vals))
+        out[key + "_spread"] = [round(min(vals), 1), round(max(vals), 1)]
     return out
 
 
@@ -258,7 +266,8 @@ def interp_rtf(args) -> float:
         return dt
 
     run()  # compile + warmup
-    return 2 * args.seconds / run()
+    vals = [2 * args.seconds / run() for _ in range(args.repeats)]
+    return float(np.median(vals)), [round(min(vals), 1), round(max(vals), 1)]
 
 
 def augment_rtf(args) -> float:
@@ -342,11 +351,13 @@ def feature_rtf(args) -> float:
         "/tmp/bench_e2e/songs/song0/separated/mdx_extra/input/other.wav"
     )
     engine.embed_song(x, SEG)  # warmup
-    t0 = time.perf_counter()
-    emb = engine.embed_song(x, SEG)
-    dt = time.perf_counter() - t0
+    vals = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        emb = engine.embed_song(x, SEG)
+        vals.append(x.shape[1] / SR / (time.perf_counter() - t0))
     assert np.isfinite(emb).all()
-    return x.shape[1] / SR / dt
+    return float(np.median(vals)), [round(min(vals), 1), round(max(vals), 1)]
 
 
 def main() -> int:
@@ -355,6 +366,11 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     p.add_argument("--seconds", type=float, default=60.0, help="e2e song length")
+    p.add_argument("--repeats", type=int, default=3,
+                   help="timed repeats per e2e/feature/interp config; the "
+                        "JSON reports the median plus a [min, max] spread "
+                        "(the tunnel's run-to-run variance is real — single "
+                        "shots drifted 10-40%% across rounds)")
     p.add_argument("--skip_e2e", action="store_true")
     p.add_argument("--skip_e2e_host", action="store_true",
                    help="skip the (slow) per-stage host-path e2e comparison")
@@ -373,10 +389,14 @@ def main() -> int:
     extra = {}
     if not args.skip_e2e and os.path.isdir(SAMPLES):
         e2e = e2e_rtf(args)
-        extra.update({k: round(v, 1) for k, v in e2e.items()})
-        extra["feature_rtf"] = round(feature_rtf(args), 1)
+        extra.update(
+            {k: (round(v, 1) if isinstance(v, float) else v) for k, v in e2e.items()}
+        )
+        extra["feature_rtf"], extra["feature_rtf_spread"] = feature_rtf(args)
+        extra["feature_rtf"] = round(extra["feature_rtf"], 1)
         if not args.skip_extras:
-            extra["interp_rtf"] = round(interp_rtf(args), 1)
+            extra["interp_rtf"], extra["interp_rtf_spread"] = interp_rtf(args)
+            extra["interp_rtf"] = round(extra["interp_rtf"], 1)
     if not args.skip_extras:
         extra["augment_audio_s_per_s"] = round(augment_rtf(args), 1)
         extra.update(train_step_throughput(args))

@@ -261,11 +261,28 @@ class ContrastivePairDataset:
         )
 
     # ------------------------------------------------------------------
+    def batch_keys(
+        self, indices: Sequence[int], epoch_seed: Optional[int] = None
+    ) -> np.ndarray:
+        """FX PRNG keys for ``indices`` as ONE batched device dispatch:
+        ``[n_inst, B, K, 2] uint32``. An epoch's worth can be precomputed
+        up front (``batch_keys(all_indices)`` then sliced per step along
+        axis 1) — per-step key dispatches otherwise queue behind the
+        in-flight augment/train work on the chip and serialize the host
+        input pipeline (measured ~1 s/batch over the serving tunnel)."""
+        K = self.num_strong_negatives + 1
+        n_inst = len(self.instruments)
+        seeds = [self._seed_for(idx, epoch_seed) for idx in indices]
+        keys = host_split_keys(seeds, K * n_inst)  # [B, K*n_inst, 2]
+        keys = keys.reshape(len(indices), n_inst, K, 2).transpose(1, 0, 2, 3)
+        return np.ascontiguousarray(keys)
+
     def sample_raw_batch(
         self,
         indices: Sequence[int],
         epoch_seed: Optional[int] = None,
         transport: str = "auto",
+        keys: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Host side of the fused train path (``train/fused.py``): raw
         segments + FX PRNG keys, NO device work and no manipulated-audio
@@ -273,11 +290,13 @@ class ContrastivePairDataset:
         so the fused on-device augmentation reproduces it exactly
         (tests/test_fused_train.py).
 
+        ``keys``: precomputed :meth:`batch_keys` output for ``indices``
+        (skips the per-batch key dispatch — see there).
+
         Returns ``(segs [n_inst, B, 2(content A/B), 2(ch), L_load]``
         (int16 when losslessly quantizable, else float32),
         ``keys [n_inst, B, K, 2] uint32)``.
         """
-        K = self.num_strong_negatives + 1
         load_len = self.segment_length + 2 * self.pad
         n_inst, B = len(self.instruments), len(indices)
         segs = np.zeros((n_inst, B, 2, 2, load_len), np.float32)
@@ -287,10 +306,9 @@ class ContrastivePairDataset:
                 segs[ii, j] = self.files.sample_segments(
                     rng, self.instruments[ii], 2, load_len
                 )
-        seeds = [self._seed_for(idx, epoch_seed) for idx in indices]
-        keys = host_split_keys(seeds, K * n_inst)  # [B, K*n_inst, 2]
-        keys = keys.reshape(B, n_inst, K, 2).transpose(1, 0, 2, 3)
-        return to_transport(segs, transport), np.ascontiguousarray(keys)
+        if keys is None:
+            keys = self.batch_keys(indices, epoch_seed)
+        return to_transport(segs, transport), keys
 
     def collate_plan(
         self,
@@ -471,14 +489,26 @@ class StyleTransferTripletDataset:
             return (epoch_seed or 0) * 1_000_003 + idx
         return idx * self.fixed_random_seed
 
+    def batch_keys(
+        self, indices: Sequence[int], epoch_seed: Optional[int] = None
+    ) -> np.ndarray:
+        """Per-instrument FX keys ``[n_inst, B, 2] uint32`` as one batched
+        dispatch (precomputable for a whole epoch; see
+        ``ContrastivePairDataset.batch_keys``)."""
+        seeds = [self._seed_for(idx, epoch_seed) for idx in indices]
+        keys = host_split_keys(seeds, len(self.instruments))  # [B, n_inst, 2]
+        return np.ascontiguousarray(keys.transpose(1, 0, 2))
+
     def sample_raw_batch(
         self,
         indices: Sequence[int],
         epoch_seed: Optional[int] = None,
         transport: str = "auto",
+        keys: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Host side of the fused converter step (``train/fused.py``): raw
-        segments + per-instrument FX keys, no device work. Returns
+        segments + per-instrument FX keys, no device work. ``keys``:
+        precomputed :meth:`batch_keys` output for ``indices``. Returns
         ``(segs [n_inst, B, 2, 2, L_load], keys [n_inst, B, 2] uint32)``."""
         load_len = self.segment_length + 2 * self.pad
         n_inst, B = len(self.instruments), len(indices)
@@ -494,11 +524,9 @@ class StyleTransferTripletDataset:
                 segs[ii, j] = self.files.sample_segments(
                     rng, self.instruments[ii], 2, load_len
                 )
-        seeds = [self._seed_for(idx, epoch_seed) for idx in indices]
-        keys = host_split_keys(seeds, n_inst)  # [B, n_inst, 2]
-        return to_transport(segs, transport), np.ascontiguousarray(
-            keys.transpose(1, 0, 2)
-        )
+        if keys is None:
+            keys = self.batch_keys(indices, epoch_seed)
+        return to_transport(segs, transport), keys
 
     def sample_batch(
         self, indices: Sequence[int], epoch_seed: Optional[int] = None

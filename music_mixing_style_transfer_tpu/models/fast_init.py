@@ -21,7 +21,7 @@ def _fill(rng: np.random.Generator, path: str, shape) -> np.ndarray:
     name = path.split("/")[-1]
     if name in ("scale",) or name == "var":
         return np.ones(shape, np.float32)
-    if name in ("bias",) and len(shape) == 1:
+    if name in ("bias", "output_bias") and len(shape) == 1:
         # approximate torch bias init: the true bound is 1/sqrt(fan_in) but
         # fan_in isn't derivable from the bias shape alone; out-features is
         # the available stand-in (fine: fast_init serves speed, not parity)

@@ -64,37 +64,49 @@ class AdmissionQueue:
     ``max_queue`` requests are already waiting; ``acquire_if_idle()`` only
     proceeds when nothing is queued or running (warmup must never block a
     live request). ``snapshot()`` feeds ``/health``.
+
+    FIFO is guaranteed by admission tickets: each ``acquire`` takes the
+    next ticket number and waits on a :class:`threading.Condition` until
+    the serving counter reaches it (a bare ``Lock`` queue has NO wakeup
+    order guarantee in CPython — under contention admission would be
+    arbitrary, with starvation possible; tests/test_serve.py pins the
+    ordering with three queued requests).
     """
 
     def __init__(self, max_queue: int = 4):
         self.max_queue = int(max_queue)
-        self._chip = threading.Lock()
-        self._meta = threading.Lock()
-        self._admitted = 0  # running (<=1) + waiting
+        self._cond = threading.Condition()
+        self._admitted = 0      # running (<=1) + waiting
+        self._next_ticket = 0   # next ticket to hand out
+        self._serving = 0       # ticket currently allowed on the chip
 
     def acquire(self) -> None:
-        with self._meta:
+        with self._cond:
             if self._admitted > self.max_queue:  # 1 running + max_queue waiting
                 raise QueueFullError(
                     f"queue full ({self.max_queue} waiting); retry later"
                 )
             self._admitted += 1
-        self._chip.acquire()
+            ticket = self._next_ticket
+            self._next_ticket += 1
+            while ticket != self._serving:
+                self._cond.wait()
 
     def acquire_if_idle(self) -> None:
-        with self._meta:
+        with self._cond:
             if self._admitted > 0:
                 raise ServiceBusyError("requests in flight; warmup declined")
             self._admitted += 1
-        self._chip.acquire()
+            self._next_ticket += 1  # idle: our ticket == _serving already
 
     def release(self) -> None:
-        self._chip.release()
-        with self._meta:
+        with self._cond:
+            self._serving += 1
             self._admitted -= 1
+            self._cond.notify_all()
 
     def snapshot(self) -> dict:
-        with self._meta:
+        with self._cond:
             return {
                 "busy": self._admitted > 0,
                 "queue_depth": max(self._admitted - 1, 0),

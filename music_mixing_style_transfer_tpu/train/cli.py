@@ -19,7 +19,21 @@ from .loop import train_converter, train_fxencoder
 _RETRY_ENV = "MST_TRAIN_RETRY"  # attempts consumed so far (re-exec counter)
 
 
-def _maybe_reexec_on_transient(exc: Exception, max_retries: int) -> None:
+def _is_transient(exc: Exception) -> bool:
+    """Infrastructure failure we may retry (never a real training error)."""
+    try:
+        import jax
+
+        is_runtime = isinstance(exc, jax.errors.JaxRuntimeError)
+    except (ImportError, AttributeError):  # pragma: no cover - old jaxlib
+        is_runtime = type(exc).__name__ in ("JaxRuntimeError", "XlaRuntimeError")
+    msg = str(exc)
+    return is_runtime and (
+        "INTERNAL" in msg or "UNAVAILABLE" in msg or "remote_compile" in msg
+    )
+
+
+def _maybe_reexec_on_transient(exc: Exception, max_retries: int, argv=None) -> None:
     """Re-exec the training process on *transient* backend failures.
 
     On shared/preempted TPU fleets the runtime can die mid-run with an
@@ -29,12 +43,11 @@ def _maybe_reexec_on_transient(exc: Exception, max_retries: int) -> None:
     the latest orbax checkpoint, losing at most the in-flight epoch
     (SURVEY.md §5.3; resume semantics tests/test_train_loop.py). Anything
     that isn't an infrastructure error re-raises: a genuine NaN/shape bug
-    must fail loudly, not loop."""
-    msg = str(exc)
-    transient = type(exc).__name__ == "JaxRuntimeError" and (
-        "INTERNAL" in msg or "UNAVAILABLE" in msg or "remote_compile" in msg
-    )
-    if not transient:
+    must fail loudly, not loop.
+
+    ``argv``: the EFFECTIVE argument list ``main`` ran with — programmatic
+    callers are restarted with their own arguments, not the process's."""
+    if not _is_transient(exc):
         raise exc
     used = int(os.environ.get(_RETRY_ENV, "0"))
     if used >= max_retries:
@@ -42,11 +55,12 @@ def _maybe_reexec_on_transient(exc: Exception, max_retries: int) -> None:
     os.environ[_RETRY_ENV] = str(used + 1)
     sys.stderr.write(
         f"[train.cli] transient backend failure (attempt {used + 1}/"
-        f"{max_retries}): {msg.splitlines()[0]}\n[train.cli] re-exec + "
+        f"{max_retries}): {str(exc).splitlines()[0]}\n[train.cli] re-exec + "
         "checkpoint resume\n"
     )
     sys.stderr.flush()
-    os.execv(sys.executable, [sys.executable, "-m", __spec__.name] + sys.argv[1:])
+    effective = list(argv) if argv is not None else sys.argv[1:]
+    os.execv(sys.executable, [sys.executable, "-m", __spec__.name] + effective)
 
 
 def main(argv=None) -> int:
@@ -100,6 +114,16 @@ def main(argv=None) -> int:
                    help="(converter) orbax dir or torch .pt of the frozen encoder")
     p.add_argument("--prob_schedule", type=str, default=None,
                    help="(fxencoder) target probs, e.g. 'eq=0.5,comp=0.5'")
+    p.add_argument("--save_every", type=int, default=1,
+                   help="checkpoint every N epochs (orbax pulls the full "
+                        "state D2H — ~10-40 s over the serving tunnel; raise "
+                        "for fast epochs). The final epoch always saves.")
+    p.add_argument("--val_every", type=int, default=1,
+                   help="held-out val loss every N epochs (0 disables); "
+                        "deterministic seeds + end-of-schedule probs, logged "
+                        "as val_loss in metrics.jsonl")
+    p.add_argument("--val_items", type=int, default=2,
+                   help="items per held-out validation batch")
     p.add_argument("--retries", type=int, default=0,
                    help="re-exec + checkpoint-resume this many times on "
                         "TRANSIENT backend failures (INTERNAL/UNAVAILABLE: "
@@ -147,6 +171,9 @@ def main(argv=None) -> int:
                 use_mesh=not args.no_mesh,
                 fused=args.fused,
                 collate_quantum=args.collate_quantum,
+                save_every=args.save_every,
+                val_every=args.val_every,
+                val_items=args.val_items,
             )
         else:
             if args.encoder_ckpt is None:
@@ -164,9 +191,12 @@ def main(argv=None) -> int:
                 batch_items=args.batch_items,
                 use_mesh=not args.no_mesh,
                 fused=args.fused,
+                save_every=args.save_every,
+                val_every=args.val_every,
+                val_items=args.val_items,
             )
     except Exception as e:  # noqa: BLE001 — filtered in the handler
-        _maybe_reexec_on_transient(e, args.retries)
+        _maybe_reexec_on_transient(e, args.retries, argv)
         raise
     return 0
 

@@ -39,6 +39,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..fx.chain import AugmentationChain
+from ..fx.fastpath import UnsupportedTopology, eval_manipulators_batched
 from .contrastive import make_contrastive_train_step
 from .converter import make_converter_train_step
 from .state import TrainState
@@ -71,6 +72,7 @@ def augment_contrastive_views(
     keys: jnp.ndarray,   # [n_inst, items, K, 2] uint32
     pad: int,
     probs=None,
+    fast: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """On-device reproduction of ``ContrastivePairDataset.sample_batch``:
     per (item, k) one FX draw applied to BOTH content segments (the
@@ -81,8 +83,20 @@ def augment_contrastive_views(
     keys eq/comp/pan/imager/gain — NOT the per-instrument reverb, which
     stays a per-chain constant); traced, so every point of a probability
     schedule rides one executable (fx/chain.py Stage).
+
+    ``fast=True`` (default) evaluates all instruments' chains through the
+    batched stage-tree walker (``fx/fastpath.py``) — ~6x the per-instrument
+    vmap loop on the chip, same numerics (tests/test_fastpath.py). Falls
+    back to the generic path for chain shapes it cannot batch.
     """
     x = _dequant(segs)
+    if fast:
+        try:
+            return _augment_contrastive_fast(
+                manipulators, instruments, x, keys, pad, probs
+            )
+        except UnsupportedTopology:
+            pass
     batch_a, batch_b = [], []
     for i, inst in enumerate(instruments):
         chain = manipulators[inst]
@@ -98,6 +112,26 @@ def augment_contrastive_views(
         batch_a.append(man[:, 0])
         batch_b.append(man[:, 1])
     return jnp.stack(batch_a), jnp.stack(batch_b)
+
+
+def _augment_contrastive_fast(manipulators, instruments, x, keys, pad, probs):
+    """Batched-draw evaluation of :func:`augment_contrastive_views`: draw
+    axis = (inst, item, k) instrument-major; content pairs are repeated per
+    k-draw so one chain call covers all (inst, item, k) at full lane
+    parallelism."""
+    n_inst, B = x.shape[0], x.shape[1]
+    K = keys.shape[2]
+    x_draws = jnp.repeat(
+        x.reshape((n_inst * B, 1) + x.shape[2:]), K, axis=1
+    ).reshape((n_inst * B * K,) + x.shape[2:])  # [D, 2, 2, L_load]
+    y = eval_manipulators_batched(
+        manipulators, instruments, keys.reshape(-1, 2), x_draws, B * K, probs
+    )
+    if pad:
+        y = y[..., pad:-pad]
+    y = jnp.clip(y, -1.0, 1.0)
+    y = y.reshape((n_inst, B * K) + y.shape[1:])  # [n_inst, items*K, 2, 2, L]
+    return y[:, :, 0], y[:, :, 1]
 
 
 class FusedContrastivePipeline:
@@ -128,6 +162,7 @@ class FusedContrastivePipeline:
         self._chains = None
         self._augment: Dict[bool, Callable] = {}
         self._steps: Dict[Tuple[int, int], Callable] = {}
+        self._loss_fns: Dict[Tuple[int, int], Callable] = {}
 
     def set_chains(
         self,
@@ -202,6 +237,56 @@ class FusedContrastivePipeline:
                 out_specs=(P(), P()),
             )
         return jax.jit(step)
+
+    def _build_loss(self, la: int, lb: int) -> Callable:
+        """Loss-only twin of :meth:`_build_step` (held-out validation:
+        same augmentation+crop, no parameter update, BN updates discarded)."""
+        from .contrastive import contrastive_loss_fn
+
+        cdtype = jnp.dtype(self.compute_dtype)
+        axis = self.axis if self.mesh is not None else None
+
+        def lossf(state: TrainState, a_full, b_full, sa, sb):
+            loss, _ = contrastive_loss_fn(
+                self.encoder, state.params, state.batch_stats,
+                crop_views(a_full, sa, la), crop_views(b_full, sb, lb),
+                self.temperature, axis, cdtype,
+            )
+            return loss
+
+        if self.mesh is not None:
+            lossf = jax.shard_map(
+                lossf,
+                mesh=self.mesh,
+                in_specs=(
+                    P(), P(None, self.axis), P(None, self.axis),
+                    P(self.axis), P(self.axis),
+                ),
+                out_specs=P(),
+            )
+        return jax.jit(lossf)
+
+    def loss(
+        self, state: TrainState, segs, keys, sa, sb, la: int, lb: int,
+        probs: Optional[Dict[str, float]] = None,
+    ) -> jnp.ndarray:
+        """Loss on a (validation) batch — augment + crop + NT-Xent, no
+        update. Memoizes one executable per ``(la, lb)`` like :meth:`step`."""
+        if self._chains is None:
+            raise RuntimeError("call set_chains() before loss()")
+        if probs is not None:
+            a_full, b_full = self._get_augment(True)(
+                jnp.asarray(segs), jnp.asarray(keys),
+                {k: jnp.float32(v) for k, v in probs.items()},
+            )
+        else:
+            a_full, b_full = self._get_augment(False)(
+                jnp.asarray(segs), jnp.asarray(keys)
+            )
+        fn = self._loss_fns.get((la, lb))
+        if fn is None:
+            fn = self._loss_fns[(la, lb)] = self._build_loss(la, lb)
+        return fn(state, a_full, b_full, jnp.asarray(sa), jnp.asarray(sb))
 
     def step(
         self, state: TrainState, segs, keys, sa, sb, la: int, lb: int,
@@ -304,13 +389,36 @@ def augment_triplets(
     keys: jnp.ndarray,  # [n_inst, items, 2] uint32
     pad: int,
     seg_len: int,
+    fast: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """On-device ``StyleTransferTripletDataset.sample_batch``: ONE FX draw
     per (inst, item) applied to both contents -> A2 (ground truth) and B2
     (reference); A1 is the raw input. Returns instrument-major stacks
-    ``[n_inst*items, 2, seg_len]`` matching the legacy loop's concat order."""
+    ``[n_inst*items, 2, seg_len]`` matching the legacy loop's concat order.
+    ``fast``: batched stage-tree evaluation (fx/fastpath.py), with fallback.
+    """
     x = _dequant(segs)
     sl = slice(pad, pad + seg_len)
+    if fast:
+        try:
+            n_inst, B = x.shape[0], x.shape[1]
+            man = eval_manipulators_batched(
+                manipulators,
+                instruments,
+                keys.reshape(-1, 2),
+                x.reshape((n_inst * B,) + x.shape[2:]),
+                B,
+            )  # [n_inst*B, 2, 2, L_load]
+            a1 = jnp.clip(
+                x.reshape((n_inst * B,) + x.shape[2:])[:, 0, :, sl], -1.0, 1.0
+            )
+            return (
+                a1,
+                jnp.clip(man[:, 0, :, sl], -1.0, 1.0),
+                jnp.clip(man[:, 1, :, sl], -1.0, 1.0),
+            )
+        except UnsupportedTopology:
+            pass
     a1s, a2s, b2s = [], [], []
     for i, inst in enumerate(instruments):
         man = jax.vmap(manipulators[inst], in_axes=(0, 0))(keys[i], x[i])
@@ -351,6 +459,36 @@ def make_fused_converter_step(
         return inner(state, enc_vars, a1, a2, b2)
 
     return step
+
+
+def make_fused_converter_loss(
+    converter,
+    encoder,
+    manipulators: Dict[str, AugmentationChain],
+    instruments: Sequence[str],
+    pad: int,
+    seg_len: int,
+    rms_weight: float = 0.1,
+    compute_dtype: str = "float32",
+) -> Callable:
+    """Loss-only twin of :func:`make_fused_converter_step` for held-out
+    validation: ``loss(state, enc_vars, segs, keys) -> scalar`` (no update,
+    BN updates discarded)."""
+    from .converter import converter_loss_fn
+
+    cdtype = jnp.dtype(compute_dtype)
+
+    def lossf(state: TrainState, enc_vars, segs, keys):
+        a1, a2, b2 = augment_triplets(
+            manipulators, instruments, segs, keys, pad, seg_len
+        )
+        loss, _ = converter_loss_fn(
+            converter, encoder, state.params, state.batch_stats, enc_vars,
+            a1, a2, b2, rms_weight, cdtype,
+        )
+        return loss
+
+    return lossf
 
 
 def make_sharded_fused_converter_step(

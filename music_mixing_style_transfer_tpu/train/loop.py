@@ -34,12 +34,36 @@ from .contrastive import init_contrastive, make_contrastive_train_step, make_sha
 from .converter import init_converter, make_converter_train_step, make_sharded_converter_step
 from .fused import (
     FusedContrastivePipeline,
+    make_fused_converter_loss,
     make_fused_converter_step,
     make_sharded_fused_converter_step,
 )
 from .state import current_lr
 
 log = get_logger("train")
+
+
+def _val_mode(data_dir: str) -> Optional[str]:
+    """Held-out split directory name ('val' preferred, else 'test')."""
+    for mode in ("val", "test"):
+        if os.path.isdir(os.path.join(data_dir, mode)):
+            return mode
+    return None
+
+
+class _TimedBatches:
+    """Wrap ``make_batch`` to accumulate host batch-production seconds
+    (runs on the prefetch thread; single writer, read at epoch end)."""
+
+    def __init__(self, make_batch):
+        self._make = make_batch
+        self.seconds = 0.0
+
+    def __call__(self, i):
+        t0 = time.perf_counter()
+        out = self._make(i)
+        self.seconds += time.perf_counter() - t0
+        return out
 
 
 def _log_metrics(out_dir: str, record: Dict) -> None:
@@ -77,6 +101,8 @@ def train_fxencoder(
     fused: bool = False,
     instruments=("drums", "bass", "other", "vocals"),
     collate_quantum: int = None,
+    save_every: int = 1,
+    val_items: int = 2,
 ):
     """Contrastive FXencoder training (SURVEY.md §3.4 step semantics).
 
@@ -91,6 +117,16 @@ def train_fxencoder(
     int16 PCM + PRNG keys + the crop plan, and FX manipulation / cropping /
     the train step chain on device with no manipulated-audio round trip —
     numerics identical to the legacy path (tests/test_fused_train.py).
+
+    ``save_every``: checkpoint every N epochs (orbax pulls the full
+    f32 state D2H — ~10-40 s over the serving tunnel, so per-epoch saves
+    can dominate short fast epochs). The final epoch always saves.
+
+    ``val_every``/``val_items``: every N epochs, a deterministic held-out
+    loss over ``val_items`` items from the corpus' val (or test) split at
+    END-of-schedule probabilities — fixed seeds and fixed probs make the
+    series comparable across epochs (reference val semantics,
+    ``data_loader.py:202-220``). Logged as ``val_loss`` in metrics.jsonl.
     """
     tcfg = train_cfg or TrainConfig()
     enc, state, tx = init_contrastive(encoder_cfg, tcfg, seed=tcfg.seed)
@@ -127,7 +163,42 @@ def train_fxencoder(
         log.info("resumed from epoch %d", start_epoch)
 
     initial_probs = dict(tcfg.apply_prob)
-    timer = Timer()
+    final_probs = {
+        k: (prob_schedule_target or {}).get(k, v) for k, v in initial_probs.items()
+    }
+
+    # held-out validation: deterministic seeds + END-of-schedule probs
+    val_mode = _val_mode(data_dir) if val_every else None
+    ds_val = val_jit = None
+    if val_mode is not None:
+        from .contrastive import contrastive_loss_fn
+
+        try:
+            ds_val = ContrastivePairDataset(
+                data_dir,
+                mode=val_mode,
+                instruments=instruments,
+                segment_length=tcfg.segment_length,
+                num_strong_negatives=tcfg.num_strong_negatives,
+                apply_prob_dict=final_probs,
+                reverb_prob=dict(tcfg.reverb_prob),
+            )
+        except FileNotFoundError as e:
+            log.warning("no usable %s split for validation (%s)", val_mode, e)
+        else:
+            val_jit = jax.jit(
+                lambda st, a, b: contrastive_loss_fn(
+                    enc, st.params, st.batch_stats, a, b, tcfg.temperature,
+                    None, jnp.dtype(tcfg.compute_dtype),
+                )[0]
+            )
+
+    def compute_val(st) -> float:
+        a, b = ds_val.sample_batch(list(range(val_items)))
+        ca = np.stack([a[i] for i in instruments])
+        cb = np.stack([b[i] for i in instruments])
+        return float(val_jit(st, jnp.asarray(ca), jnp.asarray(cb)))
+
     for epoch in range(start_epoch, epochs):
         probs = (
             schedule_probs(initial_probs, prob_schedule_target, epoch, epochs)
@@ -145,6 +216,9 @@ def train_fxencoder(
         )
         rng = np.random.default_rng(tcfg.seed + epoch)
         losses = []
+        timer = Timer()  # per-epoch (NOT cumulative) wall sections
+        epoch_t0 = time.perf_counter()
+        synced_step_s = None
 
         if pipeline is not None:
             if pipeline._chains is None:
@@ -154,50 +228,94 @@ def train_fxencoder(
                 pipeline.set_chains(ds.manipulators, ds.instruments, ds.pad)
             dyn_probs = dict(probs) if prob_schedule_target else None
             K = tcfg.num_strong_negatives + 1
+            # whole epoch's FX keys in ONE device dispatch: per-batch key
+            # splits queue behind in-flight augment/train work on the chip
+            # and serialize the input pipeline (datasets.batch_keys)
+            epoch_keys = ds.batch_keys(
+                list(range(steps_per_epoch * batch_items)),
+                epoch_seed=tcfg.seed + epoch,
+            )
 
             def make_batch(step):
                 idxs = list(range(step * batch_items, (step + 1) * batch_items))
-                segs, keys = ds.sample_raw_batch(idxs, epoch_seed=tcfg.seed + epoch)
+                segs, keys = ds.sample_raw_batch(
+                    idxs,
+                    epoch_seed=tcfg.seed + epoch,
+                    keys=epoch_keys[:, step * batch_items : (step + 1) * batch_items],
+                )
                 la, lb, sa, sb = ds.collate_plan(len(idxs) * K, rng, collate_quantum)
                 return segs, keys, sa, sb, la, lb
 
-            for segs, keys, sa, sb, la, lb in BatchPrefetcher(make_batch, steps_per_epoch):
+            timed = _TimedBatches(make_batch)
+            for segs, keys, sa, sb, la, lb in BatchPrefetcher(timed, steps_per_epoch):
                 with timer.section("step"):
                     state, loss = pipeline.step(
                         state, segs, keys, sa, sb, la, lb, probs=dyn_probs
                     )
                     losses.append(loss)  # device array: defer sync
+                if synced_step_s is None:
+                    # one BLOCKED step per epoch: float() forces the full
+                    # augment+step chain, giving a true compute wall next to
+                    # the async dispatch times (the "step" section measures
+                    # upload+dispatch only — see TRAIN_BENCH.json note)
+                    t0 = time.perf_counter()
+                    float(loss)
+                    synced_step_s = (
+                        timer.totals["step"] + time.perf_counter() - t0
+                    )
         else:
             def make_batch(step):
                 idxs = list(range(step * batch_items, (step + 1) * batch_items))
                 a, b = ds.sample_batch(idxs, epoch_seed=tcfg.seed + epoch)
                 return ds.collate_random_duration(a, b, rng, collate_quantum)
 
-            for ca, cb in BatchPrefetcher(make_batch, steps_per_epoch):
+            timed = _TimedBatches(make_batch)
+            for ca, cb in BatchPrefetcher(timed, steps_per_epoch):
                 with timer.section("step"):
                     state, loss = step_fn(state, jnp.asarray(ca), jnp.asarray(cb))
                     losses.append(loss)  # device array: defer sync; prefetch thread
                     # keeps the next batch's WAV IO off the critical path
+                if synced_step_s is None:
+                    t0 = time.perf_counter()
+                    float(loss)
+                    synced_step_s = (
+                        timer.totals["step"] + time.perf_counter() - t0
+                    )
+
+        # one stacked D2H fetch (per-scalar float() pays a tunnel RTT each)
+        epoch_loss = float(jnp.mean(jnp.stack(losses)))
+        val_loss = (
+            compute_val(state)
+            if ds_val is not None and (epoch + 1) % max(val_every, 1) == 0
+            else None
+        )
+        wall = {k: round(v, 2) for k, v in timer.totals.items()}
+        wall["host"] = round(timed.seconds, 2)
+        wall["epoch"] = round(time.perf_counter() - epoch_t0, 2)
+        if synced_step_s is not None:
+            wall["synced_step"] = round(synced_step_s, 3)
         log.info(
-            "epoch %d  probs=%s  loss=%.4f  (%s)",
+            "epoch %d  probs=%s  loss=%.4f%s  (%s)",
             epoch,
             {k: round(v, 2) for k, v in probs.items()},
-            float(np.mean([float(l) for l in losses])),
-            timer.summary(),
+            epoch_loss,
+            "" if val_loss is None else f"  val={val_loss:.4f}",
+            "  ".join(f"{k}={v}s" for k, v in wall.items()),
         )
-        _log_metrics(
-            out_dir,
-            {
-                "model": "fxencoder",
-                "epoch": epoch,
-                "loss": float(np.mean([float(l) for l in losses])),
-                "lr": current_lr(tcfg, int(state.step)),
-                "probs": {k: round(v, 4) for k, v in probs.items()},
-                "wall": {k: round(v, 2) for k, v in timer.totals.items()},
-                "time": time.time(),
-            },
-        )
-        mgr.save(epoch + 1, state)
+        record = {
+            "model": "fxencoder",
+            "epoch": epoch,
+            "loss": epoch_loss,
+            "lr": current_lr(tcfg, int(state.step)),
+            "probs": {k: round(v, 4) for k, v in probs.items()},
+            "wall": wall,
+            "time": time.time(),
+        }
+        if val_loss is not None:
+            record["val_loss"] = val_loss
+        _log_metrics(out_dir, record)
+        if (epoch + 1) % max(save_every, 1) == 0 or epoch == epochs - 1:
+            mgr.save(epoch + 1, state)
 
     return state
 
@@ -217,13 +335,20 @@ def train_converter(
     resume: bool = True,
     fused: bool = False,
     instruments=("drums", "bass", "other", "vocals"),
+    save_every: int = 1,
+    val_every: int = 1,
+    val_items: int = 2,
 ):
     """Converter training with a frozen pretrained encoder (SURVEY.md §3.5).
 
     ``fused=True``: FX manipulation runs inside the (single) jitted step —
     the host ships raw int16 PCM + keys, nothing manipulated ever crosses
     the link (train/fused.py; the converter's probabilities and segment
-    length are fixed, so one executable serves the whole run)."""
+    length are fixed, so one executable serves the whole run).
+
+    ``save_every``/``val_every``/``val_items``: as in
+    :func:`train_fxencoder` — checkpoint cadence and a deterministic
+    held-out spectral-loss series (``val_loss`` in metrics.jsonl)."""
     tcfg = train_cfg or TrainConfig()
     enc_model = FXencoder(config=encoder_cfg or FXencoderConfig())
     conv, state, tx = init_converter(converter_cfg, tcfg, seed=tcfg.seed)
@@ -266,22 +391,73 @@ def train_converter(
             make_converter_train_step(conv, enc_model, tx, compute_dtype=tcfg.compute_dtype)
         )
 
-    timer = Timer()
+    # held-out validation: deterministic triplets + frozen-encoder loss
+    val_mode = _val_mode(data_dir) if val_every else None
+    ds_val = val_jit = None
+    if val_mode is not None:
+        from .converter import converter_loss_fn
+
+        try:
+            ds_val = StyleTransferTripletDataset(
+                data_dir,
+                mode=val_mode,
+                instruments=instruments,
+                segment_length=tcfg.segment_length,
+                apply_prob_dict=dict(tcfg.apply_prob),
+                reverb_prob=dict(tcfg.reverb_prob),
+            )
+        except FileNotFoundError as e:
+            log.warning("no usable %s split for validation (%s)", val_mode, e)
+        else:
+            val_jit = jax.jit(
+                lambda st, ev, a1, a2, b2: converter_loss_fn(
+                    conv, enc_model, st.params, st.batch_stats, ev,
+                    a1, a2, b2, compute_dtype=jnp.dtype(tcfg.compute_dtype),
+                )[0]
+            )
+
+    def compute_val(st) -> float:
+        batch = ds_val.sample_batch(list(range(val_items)))
+        a1 = np.concatenate([batch[i]["a1"] for i in ds_val.instruments])
+        a2 = np.concatenate([batch[i]["a2"] for i in ds_val.instruments])
+        b2 = np.concatenate([batch[i]["b2"] for i in ds_val.instruments])
+        return float(
+            val_jit(st, encoder_variables, jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(b2))
+        )
+
     for epoch in range(start_epoch, epochs):
         losses = []
+        timer = Timer()  # per-epoch (NOT cumulative) wall sections
+        epoch_t0 = time.perf_counter()
+        synced_step_s = None
 
         if fused:
+            # one key dispatch per epoch (see the contrastive loop)
+            epoch_keys = ds.batch_keys(
+                list(range(steps_per_epoch * batch_items)),
+                epoch_seed=tcfg.seed + epoch,
+            )
+
             def make_batch(step):
                 idxs = list(range(step * batch_items, (step + 1) * batch_items))
-                return ds.sample_raw_batch(idxs, epoch_seed=tcfg.seed + epoch)
+                return ds.sample_raw_batch(
+                    idxs,
+                    epoch_seed=tcfg.seed + epoch,
+                    keys=epoch_keys[:, step * batch_items : (step + 1) * batch_items],
+                )
 
-            for segs, keys in BatchPrefetcher(make_batch, steps_per_epoch):
+            timed = _TimedBatches(make_batch)
+            for segs, keys in BatchPrefetcher(timed, steps_per_epoch):
                 with timer.section("step"):
                     state, loss = step_fn(
                         state, encoder_variables,
                         jnp.asarray(segs), jnp.asarray(keys),
                     )
                     losses.append(loss)  # defer sync (see contrastive loop)
+                if synced_step_s is None:
+                    t0 = time.perf_counter()
+                    float(loss)  # one blocked step per epoch: true compute wall
+                    synced_step_s = timer.totals["step"] + time.perf_counter() - t0
         else:
             def make_batch(step):
                 idxs = list(range(step * batch_items, (step + 1) * batch_items))
@@ -292,25 +468,50 @@ def train_converter(
                 b2 = np.concatenate([batch[i]["b2"] for i in ds.instruments])
                 return a1, a2, b2
 
-            for a1, a2, b2 in BatchPrefetcher(make_batch, steps_per_epoch):
+            timed = _TimedBatches(make_batch)
+            for a1, a2, b2 in BatchPrefetcher(timed, steps_per_epoch):
                 with timer.section("step"):
                     state, loss = step_fn(
                         state, encoder_variables,
                         jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(b2),
                     )
                     losses.append(loss)  # defer sync (see contrastive loop)
-        log.info("epoch %d  loss=%.4f  (%s)", epoch, float(np.mean([float(l) for l in losses])), timer.summary())
-        _log_metrics(
-            out_dir,
-            {
-                "model": "converter",
-                "epoch": epoch,
-                "loss": float(np.mean([float(l) for l in losses])),
-                "lr": current_lr(tcfg, int(state.step)),
-                "wall": {k: round(v, 2) for k, v in timer.totals.items()},
-                "time": time.time(),
-            },
+                if synced_step_s is None:
+                    t0 = time.perf_counter()
+                    float(loss)
+                    synced_step_s = timer.totals["step"] + time.perf_counter() - t0
+
+        # one stacked D2H fetch (per-scalar float() pays a tunnel RTT each)
+        epoch_loss = float(jnp.mean(jnp.stack(losses)))
+        val_loss = (
+            compute_val(state)
+            if ds_val is not None and (epoch + 1) % max(val_every, 1) == 0
+            else None
         )
-        mgr.save(epoch + 1, state)
+        wall = {k: round(v, 2) for k, v in timer.totals.items()}
+        wall["host"] = round(timed.seconds, 2)
+        wall["epoch"] = round(time.perf_counter() - epoch_t0, 2)
+        if synced_step_s is not None:
+            wall["synced_step"] = round(synced_step_s, 3)
+        log.info(
+            "epoch %d  loss=%.4f%s  (%s)",
+            epoch,
+            epoch_loss,
+            "" if val_loss is None else f"  val={val_loss:.4f}",
+            "  ".join(f"{k}={v}s" for k, v in wall.items()),
+        )
+        record = {
+            "model": "converter",
+            "epoch": epoch,
+            "loss": epoch_loss,
+            "lr": current_lr(tcfg, int(state.step)),
+            "wall": wall,
+            "time": time.time(),
+        }
+        if val_loss is not None:
+            record["val_loss"] = val_loss
+        _log_metrics(out_dir, record)
+        if (epoch + 1) % max(save_every, 1) == 0 or epoch == epochs - 1:
+            mgr.save(epoch + 1, state)
 
     return state

@@ -157,6 +157,44 @@ def test_admission_queue_unit():
     q.release()
 
 
+def test_admission_queue_fifo_ordering():
+    """Three queued waiters must be admitted in arrival order — the queue's
+    documented FIFO is a ticket+Condition guarantee, not CPython lock-wakeup
+    luck (serve.py:AdmissionQueue)."""
+    import time
+
+    from music_mixing_style_transfer_tpu.serve import AdmissionQueue
+
+    q = AdmissionQueue(max_queue=3)
+    q.acquire()  # hold the chip slot so waiters stack up
+    order = []
+    started = []
+
+    def waiter(i):
+        started.append(i)
+        q.acquire()  # ticket taken under the condition lock, in start order
+        order.append(i)
+        q.release()
+
+    threads = []
+    for i in range(3):
+        t = threading.Thread(target=waiter, args=(i,), daemon=True)
+        t.start()
+        # ensure waiter i has its ticket before starting waiter i+1
+        for _ in range(500):
+            if q.snapshot()["queue_depth"] == i + 1:
+                break
+            time.sleep(0.005)
+        assert q.snapshot()["queue_depth"] == i + 1
+        threads.append(t)
+
+    q.release()  # serve the queue
+    for t in threads:
+        t.join(timeout=10)
+    assert order == [0, 1, 2]
+    assert q.snapshot() == {"busy": False, "queue_depth": 0, "max_queue": 3}
+
+
 def test_concurrent_transfers_and_health(server, tmp_path, rng):
     """Two concurrent /transfer requests both succeed (one queues behind the
     other) and /health reports the admission fields."""
