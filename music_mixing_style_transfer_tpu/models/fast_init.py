@@ -21,12 +21,18 @@ def _fill(rng: np.random.Generator, path: str, shape) -> np.ndarray:
     name = path.split("/")[-1]
     if name in ("scale",) or name == "var":
         return np.ones(shape, np.float32)
-    if name in ("bias", "output_bias") and len(shape) == 1:
+    if name == "bias" and len(shape) == 1:
         # approximate torch bias init: the true bound is 1/sqrt(fan_in) but
         # fan_in isn't derivable from the bias shape alone; out-features is
         # the available stand-in (fine: fast_init serves speed, not parity)
         bound = 1.0 / math.sqrt(max(shape[0], 1))
         return rng.uniform(-bound, bound, shape).astype(np.float32)
+    # NOTE ("output_bias" et al): 1-D params whose fan_in is NOT their own
+    # length keep the generic U(+-0.05) fill below — for the TCN's 2-wide
+    # output_bias the true torch bound is 1/sqrt(width)=0.088 (width 128),
+    # which the generic fill approximates far better than 1/sqrt(2)=0.71
+    # would (the out-features stand-in is only sane when fan tracks length).
+    # Documented in TRAINING.md "Initialization note".
     if name == "mean":
         return np.zeros(shape, np.float32)
     if len(shape) >= 2:
