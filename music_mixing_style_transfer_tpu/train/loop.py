@@ -13,6 +13,7 @@ this module provides the complete TPU training stack around them:
 """
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -316,6 +317,11 @@ def train_fxencoder(
         _log_metrics(out_dir, record)
         if (epoch + 1) % max(save_every, 1) == 0 or epoch == epochs - 1:
             mgr.save(epoch + 1, state)
+        # drop dead per-step host references promptly: long runs over the
+        # remote-transfer backend otherwise accumulate staging buffers
+        # (observed ~GB/min of host RSS on the serving tunnel; the outer
+        # train CLI additionally survives a hard OOM kill via resume)
+        gc.collect()
 
     return state
 
@@ -513,5 +519,10 @@ def train_converter(
         _log_metrics(out_dir, record)
         if (epoch + 1) % max(save_every, 1) == 0 or epoch == epochs - 1:
             mgr.save(epoch + 1, state)
+        # drop dead per-step host references promptly: long runs over the
+        # remote-transfer backend otherwise accumulate staging buffers
+        # (observed ~GB/min of host RSS on the serving tunnel; the outer
+        # train CLI additionally survives a hard OOM kill via resume)
+        gc.collect()
 
     return state
