@@ -85,6 +85,39 @@ def multiscale_spectral_midside(
     return (1 - logmag_weight) * total_mag + logmag_weight * total_logmag
 
 
+@partial(jax.jit, static_argnames=("fft_sizes", "hop_sizes"))
+def multiscale_spectral_stereo(
+    est: jnp.ndarray,
+    tgt: jnp.ndarray,
+    fft_sizes: Tuple[int, ...] = (4096, 2048, 1024, 512),
+    hop_sizes: Tuple[int, ...] = (1024, 512, 256, 128),
+    logmag_weight: float = 0.1,
+    eps: float = 1e-7,
+) -> jnp.ndarray:
+    """Multi-scale spectral loss on raw L/R channels of stereo ``[B, 2, T]``.
+
+    The reference's ``mode='ori'`` branch (``loss.py:154-177``,
+    FrontEnd(channel='stereo')): per-channel magnitude L1 + log-magnitude L2
+    over the same 4 scales, no mid/side transform. Unlike the mid/side mode,
+    this term *sees* a static L/R imbalance — mid/side magnitudes cannot
+    distinguish random-pan side content from ``side ≈ -α·mid`` (a constant
+    channel bias), which is exactly the pathology the round-4/5 converter
+    exhibited (panning-spectrum metrics are functions of per-channel
+    magnitudes only, ``metrics.py:get_sps``).
+    """
+    B = est.shape[0]
+    est_lr = est.reshape(B * 2, est.shape[-1])
+    tgt_lr = tgt.reshape(B * 2, tgt.shape[-1])
+    total_mag = 0.0
+    total_logmag = 0.0
+    for n_fft, hop in zip(fft_sizes, hop_sizes):
+        em = frontend_mag(est_lr, n_fft, hop, eps)
+        tm = frontend_mag(tgt_lr, n_fft, hop, eps)
+        total_mag = total_mag + _mag_loss(em, tm)
+        total_logmag = total_logmag + _logmag_loss(em, tm, eps)
+    return (1 - logmag_weight) * total_mag + logmag_weight * total_logmag
+
+
 @jax.jit
 def rms_loss(est: jnp.ndarray, tgt: jnp.ndarray, weight_factor: float = 100.0) -> jnp.ndarray:
     """RMS gain loss (reference ``RMSLoss``, ``loss.py:77-93``).

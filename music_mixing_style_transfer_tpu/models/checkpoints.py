@@ -42,11 +42,23 @@ def load_model_variables(path: str, model: str) -> Dict[str, Any]:
         return load_orbax_variables(path)
 
     if _is_trainer_ckpt_dir(path):
+        import jax
+        import numpy as np
         import orbax.checkpoint as ocp
 
         steps = sorted(int(n) for n in os.listdir(path) if n.isdigit())
-        ckptr = ocp.StandardCheckpointer()
-        raw = ckptr.restore(os.path.join(path, str(steps[-1]), "default"))
+        step_dir = os.path.join(path, str(steps[-1]), "default")
+        # Restore as host numpy arrays, ignoring the shardings baked in at
+        # save time — a checkpoint written on the TPU backend must load on
+        # CPU (and vice versa); the engine re-places leaves on its own
+        # device anyway.
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(step_dir).item_metadata
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+        )
+        raw = ckptr.restore(step_dir, restore_args=restore_args)
         state = raw["state"]
         return {"params": state["params"], "batch_stats": state["batch_stats"]}
 

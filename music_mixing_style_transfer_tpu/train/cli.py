@@ -124,6 +124,11 @@ def main(argv=None) -> int:
                         "as val_loss in metrics.jsonl")
     p.add_argument("--val_items", type=int, default=2,
                    help="items per held-out validation batch")
+    p.add_argument("--ori_weight", type=float, default=0.0,
+                   help="(converter) weight of the reference's mode='ori' "
+                        "per-channel L/R spectral term added to the mid/side "
+                        "loss; the mid/side magnitudes alone cannot see a "
+                        "static channel imbalance (panning collapse)")
     p.add_argument("--retries", type=int, default=0,
                    help="re-exec + checkpoint-resume this many times on "
                         "TRANSIENT backend failures (INTERNAL/UNAVAILABLE: "
@@ -194,6 +199,7 @@ def main(argv=None) -> int:
                 save_every=args.save_every,
                 val_every=args.val_every,
                 val_items=args.val_items,
+                ori_weight=args.ori_weight,
             )
     except Exception as e:  # noqa: BLE001 — filtered in the handler
         _maybe_reexec_on_transient(e, args.retries, argv)

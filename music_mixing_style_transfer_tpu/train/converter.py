@@ -18,7 +18,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import TCNConfig, TrainConfig
-from ..losses import multiscale_spectral_midside, rms_loss
+from ..losses import multiscale_spectral_midside, multiscale_spectral_stereo, rms_loss
 from ..models import FXencoder, MixFXcloner
 from .state import (
     TrainState,
@@ -40,12 +40,18 @@ def converter_loss_fn(
     b2: jnp.ndarray,
     rms_weight: float = 0.1,
     compute_dtype: jnp.dtype = jnp.float32,
+    ori_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, Any]:
     """``a1/a2/b2``: ``[B_local, 2, T]`` stacked across instruments upstream.
 
     With ``compute_dtype=bfloat16`` the model forward/backward runs on the
     MXU's fast bf16 passes; params, batch stats, and the spectral losses
-    stay float32 (losses always computed on f32-cast predictions)."""
+    stay float32 (losses always computed on f32-cast predictions).
+
+    ``ori_weight`` adds the reference's ``mode='ori'`` per-channel L/R
+    spectral term (``loss.py:154-177``) on top of the mid/side mode: the
+    mid/side magnitudes alone cannot see a static channel imbalance, which
+    in practice the converter exploits (round-4/5 panning blowup)."""
     mixed = compute_dtype != jnp.float32
     if mixed:
         # batch_stats stay f32: train-mode BatchNorm computes/updates its
@@ -63,6 +69,8 @@ def converter_loss_fn(
     pred = pred.astype(jnp.float32)
     new_stats = updates["batch_stats"]
     loss = multiscale_spectral_midside(pred, a2) + rms_weight * rms_loss(pred, a2)
+    if ori_weight:
+        loss = loss + ori_weight * multiscale_spectral_stereo(pred, a2)
     return loss, new_stats
 
 
@@ -73,6 +81,7 @@ def make_converter_train_step(
     rms_weight: float = 0.1,
     axis_name: Optional[str] = None,
     compute_dtype: str = "float32",
+    ori_weight: float = 0.0,
 ) -> Callable:
     """Returns ``step(state, enc_vars, a1, a2, b2)``.
 
@@ -86,7 +95,7 @@ def make_converter_train_step(
         def loss_fn(params):
             return converter_loss_fn(
                 converter, encoder, params, state.batch_stats, enc_vars_arg,
-                a1, a2, b2, rms_weight, cdtype,
+                a1, a2, b2, rms_weight, cdtype, ori_weight,
             )
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -117,11 +126,12 @@ def make_sharded_converter_step(
     rms_weight: float = 0.1,
     axis: str = "data",
     compute_dtype: str = "float32",
+    ori_weight: float = 0.0,
 ):
     """Returns jitted ``step(state, enc_vars, a1, a2, b2)`` over the mesh."""
     step = make_converter_train_step(
         converter, encoder, tx, rms_weight, axis_name=axis,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, ori_weight=ori_weight,
     )
     sharded = jax.shard_map(
         step,

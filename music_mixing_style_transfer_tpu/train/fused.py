@@ -443,13 +443,14 @@ def make_fused_converter_step(
     rms_weight: float = 0.1,
     axis_name: Optional[str] = None,
     compute_dtype: str = "float32",
+    ori_weight: float = 0.0,
 ) -> Callable:
     """``step(state, enc_vars, segs, keys) -> (state, loss)``. The converter
     keeps FX probabilities fixed and its segment length static, so one jit
     serves the whole run."""
     inner = make_converter_train_step(
         converter, encoder, tx, rms_weight, axis_name=axis_name,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, ori_weight=ori_weight,
     )
 
     def step(state: TrainState, enc_vars, segs, keys):
@@ -470,6 +471,7 @@ def make_fused_converter_loss(
     seg_len: int,
     rms_weight: float = 0.1,
     compute_dtype: str = "float32",
+    ori_weight: float = 0.0,
 ) -> Callable:
     """Loss-only twin of :func:`make_fused_converter_step` for held-out
     validation: ``loss(state, enc_vars, segs, keys) -> scalar`` (no update,
@@ -484,7 +486,7 @@ def make_fused_converter_loss(
         )
         loss, _ = converter_loss_fn(
             converter, encoder, state.params, state.batch_stats, enc_vars,
-            a1, a2, b2, rms_weight, cdtype,
+            a1, a2, b2, rms_weight, cdtype, ori_weight,
         )
         return loss
 
@@ -503,10 +505,12 @@ def make_sharded_fused_converter_step(
     rms_weight: float = 0.1,
     axis: str = "data",
     compute_dtype: str = "float32",
+    ori_weight: float = 0.0,
 ):
     step = make_fused_converter_step(
         converter, encoder, tx, manipulators, instruments, pad, seg_len,
         rms_weight, axis_name=axis, compute_dtype=compute_dtype,
+        ori_weight=ori_weight,
     )
     sharded = jax.shard_map(
         step,

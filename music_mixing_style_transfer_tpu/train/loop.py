@@ -344,6 +344,7 @@ def train_converter(
     save_every: int = 1,
     val_every: int = 1,
     val_items: int = 2,
+    ori_weight: float = 0.0,
 ):
     """Converter training with a frozen pretrained encoder (SURVEY.md §3.5).
 
@@ -354,7 +355,11 @@ def train_converter(
 
     ``save_every``/``val_every``/``val_items``: as in
     :func:`train_fxencoder` — checkpoint cadence and a deterministic
-    held-out spectral-loss series (``val_loss`` in metrics.jsonl)."""
+    held-out spectral-loss series (``val_loss`` in metrics.jsonl).
+
+    ``ori_weight``: weight of the reference's ``mode='ori'`` per-channel
+    L/R spectral term added to the mid/side loss (train/converter.py) —
+    the mid/side magnitudes alone are blind to a static channel imbalance."""
     tcfg = train_cfg or TrainConfig()
     enc_model = FXencoder(config=encoder_cfg or FXencoderConfig())
     conv, state, tx = init_converter(converter_cfg, tcfg, seed=tcfg.seed)
@@ -382,19 +387,25 @@ def train_converter(
         step_fn = make_sharded_fused_converter_step(
             conv, enc_model, tx, ds.manipulators, ds.instruments, ds.pad,
             tcfg.segment_length, mesh, compute_dtype=tcfg.compute_dtype,
+            ori_weight=ori_weight,
         )
     elif fused:
         step_fn = jax.jit(make_fused_converter_step(
             conv, enc_model, tx, ds.manipulators, ds.instruments, ds.pad,
             tcfg.segment_length, compute_dtype=tcfg.compute_dtype,
+            ori_weight=ori_weight,
         ))
     elif mesh is not None:
         step_fn = make_sharded_converter_step(
-            conv, enc_model, tx, mesh, compute_dtype=tcfg.compute_dtype
+            conv, enc_model, tx, mesh, compute_dtype=tcfg.compute_dtype,
+            ori_weight=ori_weight,
         )
     else:
         step_fn = jax.jit(
-            make_converter_train_step(conv, enc_model, tx, compute_dtype=tcfg.compute_dtype)
+            make_converter_train_step(
+                conv, enc_model, tx, compute_dtype=tcfg.compute_dtype,
+                ori_weight=ori_weight,
+            )
         )
 
     # held-out validation: deterministic triplets + frozen-encoder loss
@@ -419,6 +430,7 @@ def train_converter(
                 lambda st, ev, a1, a2, b2: converter_loss_fn(
                     conv, enc_model, st.params, st.batch_stats, ev,
                     a1, a2, b2, compute_dtype=jnp.dtype(tcfg.compute_dtype),
+                    ori_weight=ori_weight,
                 )[0]
             )
 

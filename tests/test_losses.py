@@ -8,6 +8,7 @@ import jax.numpy as jnp
 
 from music_mixing_style_transfer_tpu.losses import (
     multiscale_spectral_midside,
+    multiscale_spectral_stereo,
     nt_xent_loss,
     rms_loss,
 )
@@ -113,3 +114,82 @@ def test_rms_loss_matches_torch(rng):
     ref = float(torch.mean(w**1.5 * torch.nn.functional.mse_loss(ne, nt)))
     out = float(rms_loss(jnp.asarray(est), jnp.asarray(tgt)))
     assert abs(out - ref) / max(abs(ref), 1e-8) < 1e-4
+
+
+def _torch_multiscale_ori(est, tgt, eps=1e-7):
+    """Reference mode='ori' (loss.py:154-177): FrontEnd(channel='stereo')
+    magnitudes of raw L/R, one L1 + log-L2 over the stacked channels."""
+    logmag_w = 0.1
+    B = est.shape[0]
+    e_lr = est.reshape(B * 2, -1)
+    t_lr = tgt.reshape(B * 2, -1)
+    tot_mag, tot_log = 0.0, 0.0
+    for n_fft, hop in zip([4096, 2048, 1024, 512], [1024, 512, 256, 128]):
+        em, tm = _torch_frontend_mag(e_lr, n_fft, hop), _torch_frontend_mag(t_lr, n_fft, hop)
+        l1 = lambda a, b: torch.norm(torch.nn.functional.l1_loss(a, b))
+        l2 = lambda a, b: torch.nn.functional.mse_loss(
+            torch.log10(a + eps), torch.log10(b + eps)
+        )
+        tot_mag = tot_mag + l1(em, tm)
+        tot_log = tot_log + l2(em, tm)
+    return (1 - logmag_w) * tot_mag + logmag_w * tot_log
+
+
+def test_multiscale_stereo_matches_torch(rng):
+    B, T = 2, 8192
+    est = (rng.standard_normal((B, 2, T)) * 0.1).astype(np.float32)
+    tgt = (rng.standard_normal((B, 2, T)) * 0.1).astype(np.float32)
+    ref = float(_torch_multiscale_ori(torch.from_numpy(est), torch.from_numpy(tgt)))
+    out = float(multiscale_spectral_stereo(jnp.asarray(est), jnp.asarray(tgt)))
+    assert abs(out - ref) / max(abs(ref), 1e-8) < 1e-3
+
+
+def test_stereo_loss_sees_static_channel_imbalance(rng):
+    """The panning-collapse discriminator: output whose side magnitude
+    matches the target but is anti-correlated with mid (a static L<R bias)
+    is near-invisible to the mid/side loss yet loudly penalized by the
+    per-channel 'ori' term."""
+    B, T = 2, 8192
+    mid = (rng.standard_normal((B, T)) * 0.2).astype(np.float32)
+    pan = (rng.standard_normal((B, T)) * 0.05).astype(np.float32)
+    tgt = np.stack([(mid + pan) / 2, (mid - pan) / 2], axis=1)
+    # est: same mid, side magnitude-matched but proportional to -mid
+    alpha = np.sqrt(np.mean(pan**2, axis=-1, keepdims=True) / np.mean(mid**2, axis=-1, keepdims=True))
+    side_biased = (-alpha * mid).astype(np.float32)
+    est = np.stack([(mid + side_biased) / 2, (mid - side_biased) / 2], axis=1)
+    ms = float(multiscale_spectral_midside(jnp.asarray(est), jnp.asarray(tgt)))
+    ori = float(multiscale_spectral_stereo(jnp.asarray(est), jnp.asarray(tgt)))
+    ms_scale = float(multiscale_spectral_midside(jnp.asarray(0 * tgt), jnp.asarray(tgt)))
+    # mid/side barely reacts relative to its own full-scale value
+    # (measured: ms/ms_scale ~= 0.08)...
+    assert ms < 0.15 * ms_scale
+    # ...while the per-channel term reacts much more strongly than mid/side
+    # (measured: ori/ms ~= 1.86)
+    assert ori > 1.5 * ms
+
+
+def test_converter_loss_ori_weight_wiring():
+    """converter_loss_fn(ori_weight=w) == base + w * stereo term."""
+    from music_mixing_style_transfer_tpu.train.converter import converter_loss_fn
+    from music_mixing_style_transfer_tpu.models import FXencoder, MixFXcloner
+    from music_mixing_style_transfer_tpu.models.fast_init import fast_init
+    from music_mixing_style_transfer_tpu.config import FXencoderConfig, TCNConfig
+
+    ecfg = FXencoderConfig(
+        channels=(4, 8), kernels=(25, 25), strides=(4, 4), dilation=(1, 1)
+    )
+    ccfg = TCNConfig(nblocks=2, channel_width=4, condition_dimension=8, kernel_size=3, dilation_growth=2)
+    enc = FXencoder(config=ecfg)
+    conv = MixFXcloner(config=ccfg, train=True, channels_last=False)
+    T = 4096
+    ev = fast_init(enc, jnp.zeros((1, 2, T)), seed=0)
+    cv = fast_init(conv, jnp.zeros((1, 2, T)), jnp.zeros((1, 8)), seed=1)
+    rng2 = np.random.default_rng(5)
+    a1, a2, b2 = (jnp.asarray(rng2.standard_normal((2, 2, T)).astype(np.float32) * 0.1) for _ in range(3))
+    base, _ = converter_loss_fn(conv, enc, cv["params"], cv["batch_stats"], ev, a1, a2, b2)
+    w, _ = converter_loss_fn(conv, enc, cv["params"], cv["batch_stats"], ev, a1, a2, b2, ori_weight=0.7)
+    # recompute the pred to get the stereo term directly
+    emb = enc.apply(ev, b2)
+    pred, _ = conv.apply(cv, a1, emb, mutable=["batch_stats"])
+    ori = multiscale_spectral_stereo(pred.astype(jnp.float32), a2)
+    np.testing.assert_allclose(float(w), float(base) + 0.7 * float(ori), rtol=1e-5)
